@@ -1,0 +1,37 @@
+"""quadraticprogramsolver_tpu — a TPU-native batched QP solver framework.
+
+Ground-up JAX/XLA/Pallas re-design of the capabilities of
+RoyiAvital/QuadraticProgramSolver (OSQP-style ADMM + ProxQP-style prox-ALM,
+pluggable KKT backends, 9-class benchmark generator) for TPU fleets of QPs.
+See SURVEY.md at the repo root for the structural map of the reference.
+"""
+
+from .core.problem import QP, ProxQPProblem, make_proxqp, make_qp, pad_qp, stack_qps
+from .core.settings import KKTBackendKind, ProxQPSettings, Settings
+from .core.state import SolveInfo, Solution, Status
+from .models.admm import solve, solve_jit
+from .problems.generator import ALL_CLASSES, ProblemClass, generate_batch, generate_random_qp
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "QP",
+    "ProxQPProblem",
+    "make_qp",
+    "make_proxqp",
+    "pad_qp",
+    "stack_qps",
+    "Settings",
+    "ProxQPSettings",
+    "KKTBackendKind",
+    "SolveInfo",
+    "Solution",
+    "Status",
+    "solve",
+    "solve_jit",
+    "ProblemClass",
+    "ALL_CLASSES",
+    "generate_random_qp",
+    "generate_batch",
+    "__version__",
+]

@@ -1,0 +1,121 @@
+"""Solver settings — static (hashable) configuration pytree-free dataclass.
+
+Parameter names and defaults follow the reference so its configs translate
+1:1 (`/root/reference/SolveQuadraticProgram.jl:14-17` for the Julia defaults,
+`/root/reference/SolveQuadraticProgram.m:84-107` for the MATLAB ones; where the
+two disagree we take the Julia values, which the reference's own test/bench
+drivers use).
+
+Being a frozen dataclass, ``Settings`` is passed as a *static* argument to the
+jitted solve, so every distinct configuration compiles once and the hot loop
+contains no setting-dependent branches at runtime.
+
+NOTE (reference bug, not replicated): `SolveQuadraticProgram.m:141` reads
+``fctrRho`` from ``sSolverParams.adaptRho`` — a copy-paste bug that silently
+pins the refactor hysteresis to 1. We use the declared default of 5.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import enum
+
+
+class KKTBackendKind(enum.Enum):
+    """KKT linear-system strategy, mirroring the reference's pluggable
+    (init, solve!) handle pairs (`/root/reference/LinearSystemSolvers.jl:16-229`)
+    and its auto direct/iterative switch (`SolveQuadraticProgram.m:190-204`)."""
+
+    AUTO = "auto"
+    #: Batched dense Cholesky of the SPD normal matrix P + sigma*I + rho*A'A,
+    #: cached inverse so per-iteration solves are pure MXU matmuls.
+    CHOLESKY = "cholesky"
+    #: Batched dense signed-LDL' of the quasi-definite 2x2 KKT matrix
+    #: [[P+sigma*I, A'], [A, -I/rho]] — the OSQP-paper factorization.
+    KKT_LDL = "kkt_ldl"
+    #: Matrix-free conjugate gradient on the normal matrix (large problems).
+    CG = "cg"
+
+
+# Auto-switch thresholds, as in the reference (`SolveQuadraticProgram.m:126-128`).
+MAX_DIRECT_KKT_DIM = 5000
+MAX_DIRECT_DENSITY = 0.4
+
+# Adaptive-rho clipping (`SolveQuadraticProgram.m:130-131`, jl:81-82).
+RHO_MIN = 1e-3
+RHO_MAX = 1e6
+
+# ADMM fixed-point tolerance factor (`SolveQuadraticProgram.m:124,208`).
+EPS_ADMM_FACTOR = 1e-2
+
+
+@dataclasses.dataclass(frozen=True)
+class Settings:
+    """OSQP-ADMM solver settings (static / hashable)."""
+
+    max_iterations: int = 5000          # jl:15 numIterations
+    eps_abs: float = 1e-6               # jl:15
+    eps_rel: float = 1e-6               # jl:15
+    rho: float = 1.0                    # jl:16 (MATLAB default is 1e6, m:94)
+    sigma: float = 1e-6                 # jl:16
+    alpha: float = 1.6                  # jl:16 relaxation
+    delta: float = 1e-6                 # jl:16 polish regularization
+    adaptive_rho: bool = True           # jl:16 adptP (ref default false; tests use true)
+    rho_factor: float = 5.0             # jl:17 fctrP refactor hysteresis
+    check_interval: int = 25            # jl:17 numItrConv (MATLAB: 50)
+    polish_iterations: int = 0          # m:100 numPolishItr (Julia path has none)
+    polish_eps: float = 1e-6            # m:104 minresEps
+    polish_max_krylov: int = 500        # m:105 minresItr
+    cg_eps: float = 1e-9                # m:102 pcgEps
+    cg_max_iterations: int = 200        # m:103 pcgItr (TPU: static bound, see kkt.py)
+    kkt_backend: KKTBackendKind = KKTBackendKind.AUTO
+    #: Extra iterative-refinement passes on each KKT solve. On TPU the factor
+    #: lives in f32; one refinement step restores most of the accuracy the
+    #: f64 reference gets for free. 0 disables.
+    kkt_refinement_steps: int = 1
+
+    def __post_init__(self):
+        if self.max_iterations < 1:
+            raise ValueError("max_iterations must be positive")
+        if self.check_interval < 1:
+            raise ValueError("check_interval must be positive")
+        if not (0.0 < self.alpha < 2.0):
+            raise ValueError("alpha must be in (0, 2)")
+        for name in ("eps_abs", "eps_rel", "rho", "sigma", "delta"):
+            if getattr(self, name) <= 0:
+                raise ValueError(f"{name} must be positive")
+
+    @property
+    def eps_admm(self) -> float:
+        """Fixed-point termination tolerance (`SolveQuadraticProgram.jl:34`)."""
+        return min(self.eps_abs, self.eps_rel) * EPS_ADMM_FACTOR
+
+    @property
+    def num_checks(self) -> int:
+        """Number of convergence-check chunks covering max_iterations."""
+        return -(-self.max_iterations // self.check_interval)
+
+
+@dataclasses.dataclass(frozen=True)
+class ProxQPSettings:
+    """Prox-ALM (ProxQP-style) solver settings (`/root/reference/ProxQP.jl:118`)."""
+
+    max_iterations: int = 2000          # ProxQP.jl:118 numIterations
+    eps_abs: float = 1e-7
+    eps_rel: float = 1e-6
+    check_interval: int = 50            # numItrConv
+    rho: float = 1e2
+    sigma: float = 1e-2
+    adaptive_rho: bool = True
+    tau: float = 10.0                   # residual-ratio trigger
+    rho_min: float = 1e-5               # ProxQP.jl:255
+    rho_max: float = 1e5                # ProxQP.jl:256
+    kkt_refinement_steps: int = 1
+    #: Stop iterating once every lane has converged. The reference keeps
+    #: looping after convergence (`ProxQP.jl:157` has its break commented out);
+    #: set False to replicate that exactly.
+    early_exit: bool = True
+
+    @property
+    def num_checks(self) -> int:
+        return -(-self.max_iterations // self.check_interval)

@@ -1,0 +1,99 @@
+"""Solver state and result pytrees.
+
+The reference returns only a convergence flag plus the mutated ``vX``
+(`/root/reference/SolveQuadraticProgram.jl:73`); its ProxQP front-end returns a
+report Dict (`/root/reference/ProxQP.jl:127`). Here every solve returns a
+structured :class:`SolveInfo` per batched instance — device-resident status
+codes instead of host-side control flow, so a fleet of QPs reports
+convergence without synchronizing with the host.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import enum
+
+import jax
+import jax.numpy as jnp
+
+
+class Status(enum.IntEnum):
+    """Per-instance convergence flag.
+
+    Values match the reference enum `ConvergenceFlag`
+    (`SolveQuadraticProgram.jl:12`, `SolveQuadraticProgram.m:114-117`):
+    1 = iteration budget exhausted, 2 = ADMM fixed point, 3 = primal+dual.
+    RUNNING (0) is internal to the batched loop.
+    """
+
+    RUNNING = 0
+    MAX_ITERATIONS = 1
+    SOLVED_ADMM = 2
+    SOLVED = 3
+
+
+def _pytree_dataclass(cls):
+    fields = [f.name for f in dataclasses.fields(cls)]
+    return jax.tree_util.register_dataclass(cls, data_fields=fields, meta_fields=[])
+
+
+@_pytree_dataclass
+@dataclasses.dataclass(frozen=True)
+class SolverState:
+    """Batched ADMM iterate. All per-instance leaves share batch shape *B.
+
+    x, xx: (*B, n) primal iterate / KKT tilde-x
+    z, y:  (*B, m) split variable / dual
+    rho:       (*B,) current per-instance penalty (factor matches this value)
+    rho_cand:  (*B,) adaptive-rho candidate from the last convergence check
+    status:    (*B,) int32 Status
+    iterations:(*B,) int32 iteration count when the lane stopped
+    res_prim/res_dual: (*B,) last measured residual inf-norms
+    iteration: () int32 global iteration counter
+    kkt_cache: backend-specific factor cache pytree (e.g. cached M^-1)
+    """
+
+    x: jax.Array
+    z: jax.Array
+    y: jax.Array
+    rho: jax.Array
+    rho_cand: jax.Array
+    status: jax.Array
+    iterations: jax.Array
+    res_prim: jax.Array
+    res_dual: jax.Array
+    iteration: jax.Array
+    kkt_cache: object
+
+
+@_pytree_dataclass
+@dataclasses.dataclass(frozen=True)
+class SolveInfo:
+    """Per-instance solve diagnostics (batched)."""
+
+    status: jax.Array        # (*B,) int32, see Status
+    iterations: jax.Array    # (*B,) int32
+    res_prim: jax.Array      # (*B,) primal residual inf-norm at last check
+    res_dual: jax.Array      # (*B,) dual residual inf-norm at last check
+    rho: jax.Array           # (*B,) final penalty parameter
+    objective: jax.Array     # (*B,) 0.5 x'Px + q'x at the returned x
+
+    @property
+    def solved(self) -> jax.Array:
+        return self.status >= Status.SOLVED_ADMM
+
+
+@_pytree_dataclass
+@dataclasses.dataclass(frozen=True)
+class Solution:
+    """Full primal/dual solution of a batched solve."""
+
+    x: jax.Array             # (*B, n)
+    z: jax.Array             # (*B, m)
+    y: jax.Array             # (*B, m) duals for l <= Ax <= u
+    info: SolveInfo
+
+
+def all_done(status: jax.Array) -> jax.Array:
+    """True when no lane is still running."""
+    return jnp.all(status != Status.RUNNING)

@@ -1,0 +1,228 @@
+"""Batched OSQP-style ADMM solver — the framework's flagship model.
+
+Solves (fleets of) box-constrained QPs
+
+    min 0.5 x'Px + q'x   s.t.   l <= Ax <= u
+
+with the operator-splitting iteration of the reference
+(`/root/reference/SolveQuadraticProgram.jl:45-71`, `SolveQuadraticProgram.m:233-287`):
+
+    (xx, zz) <- KKT solve                 (pluggable backend, kkt.py)
+    x <- alpha*xx + (1-alpha)*x           (relaxation)
+    z <- clip(alpha*zz + (1-alpha)*z + y/rho, l, u)
+    y <- y + rho*(alpha*zz + (1-alpha)*z_prev - z)
+
+with adaptive rho (sqrt residual-ratio rule, clipped to [1e-3, 1e6], 5x
+refactor hysteresis — jl:47-52, :91-96) and the dual termination test
+(primal+dual residuals, or the ADMM fixed point — jl:98-107).
+
+TPU-first structure (not a port):
+* **Whole-fleet batching.** Every array carries leading batch axes; the hot
+  loop is one XLA program of batched MXU matmuls over thousands of QPs. The
+  reference's per-problem early ``break`` (jl:66-68) becomes per-lane status
+  masking: converged lanes freeze while the `lax.while_loop` runs until all
+  lanes finish or the budget is exhausted.
+* **Chunked checking.** The loop is `while_loop(num_chunks){ refactor?;
+  fori_loop(check_interval){ step }; check }` — residuals are evaluated every
+  `check_interval` iterations exactly like the reference (jl:63), and the
+  check cadence doubles as the rho-refactor boundary. (rho candidates only
+  change at checks, so checking hysteresis per-chunk is *exactly* the
+  reference's per-iteration check.)
+* **No data-dependent shapes.** max_iterations rounds up to a whole number
+  of chunks; rho is a per-lane vector baked into the batched factorization.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..core.problem import QP
+from ..core.settings import RHO_MAX, RHO_MIN, Settings
+from ..core.state import SolveInfo, Solution, SolverState, Status
+from ..ops.linalg import inf_norm, matvec, matvec_t
+from . import kkt as kkt_mod
+from .polish import polish as polish_fn
+
+
+def _init_state(qp: QP, settings: Settings, x0, backend) -> SolverState:
+    batch = qp.batch_shape
+    dt = qp.dtype
+    x = jnp.zeros(batch + (qp.n,), dt) if x0 is None else jnp.asarray(x0, dt)
+    rho = jnp.full(batch, settings.rho, dt)
+    sigma = jnp.asarray(settings.sigma, dt)
+    cache = backend.init(qp, rho, sigma, settings)
+    return SolverState(
+        x=x,
+        z=jnp.zeros(batch + (qp.m,), dt),
+        y=jnp.zeros(batch + (qp.m,), dt),
+        rho=rho,
+        rho_cand=rho,
+        status=jnp.zeros(batch, jnp.int32),
+        iterations=jnp.zeros(batch, jnp.int32),
+        res_prim=jnp.full(batch, jnp.inf, dt),
+        res_dual=jnp.full(batch, jnp.inf, dt),
+        iteration=jnp.zeros((), jnp.int32),
+        kkt_cache=cache,
+    )
+
+
+def _run_chunk(qp: QP, settings: Settings, backend, state: SolverState):
+    """check_interval masked ADMM iterations; returns new (x,z,y,xp,zp,cache)."""
+    dt = qp.dtype
+    alpha = jnp.asarray(settings.alpha, dt)
+    alpha1 = jnp.asarray(1.0 - settings.alpha, dt)
+    active = (state.status == Status.RUNNING)[..., None]
+    rho = state.rho
+    rho_col = rho[..., None]
+
+    def step(_, carry):
+        x, z, y, _, _, cache = carry
+        xx, zz, cache = backend.solve(cache, qp, x, z, y, rho, settings)
+        xp, zp = x, z
+        x_new = alpha * xx + alpha1 * xp
+        z_new = jnp.clip(alpha * zz + alpha1 * zp + y / rho_col, qp.l, qp.u)
+        y_new = y + rho_col * (alpha * zz + alpha1 * zp - z_new)
+        # Converged lanes freeze (replaces the reference's early break, jl:66-68).
+        x = jnp.where(active, x_new, xp)
+        z = jnp.where(active, z_new, zp)
+        y = jnp.where(active, y_new, y)
+        return x, z, y, xp, zp, cache
+
+    init = (state.x, state.z, state.y, state.x, state.z, state.kkt_cache)
+    return jax.lax.fori_loop(0, settings.check_interval, step, init)
+
+
+def _check_convergence(qp: QP, settings: Settings, state: SolverState, x, z, y, xp, zp):
+    """Residuals, adaptive-rho candidate, and termination flags.
+
+    Math follows `CheckConvergence` (SolveQuadraticProgram.jl:79-112),
+    including its flag precedence: when both the primal/dual test and the
+    ADMM fixed-point test pass in the same check, the fixed-point flag wins
+    (jl:102-107 assigns convPrimDual then overwrites with convAdmm).
+    """
+    dt = qp.dtype
+    Ax = matvec(qp.A, x)
+    Px = matvec(qp.P, x)
+    ATy = matvec_t(qp.A, y)
+
+    res_prim = inf_norm(Ax - z)
+    res_dual = inf_norm(Px + qp.q + ATy)
+    max_prim = jnp.maximum(inf_norm(Ax), inf_norm(z))
+    max_dual = jnp.maximum(jnp.maximum(inf_norm(Px), inf_norm(ATy)), inf_norm(qp.q))
+
+    active = state.status == Status.RUNNING
+
+    rho_cand = state.rho_cand
+    if settings.adaptive_rho:
+        num = res_prim * max_dual
+        den = res_dual * max_prim
+        ratio = jnp.sqrt(num / jnp.where(den == 0, 1.0, den))
+        cand = jnp.clip(state.rho * ratio, RHO_MIN, RHO_MAX)
+        ok = jnp.isfinite(cand) & (den != 0) & (cand > 0)
+        rho_cand = jnp.where(active & ok, cand.astype(dt), rho_cand)
+
+    eps_prim = settings.eps_abs + settings.eps_rel * max_prim
+    eps_dual = settings.eps_abs + settings.eps_rel * max_dual
+    solved = (res_prim < eps_prim) & (res_dual < eps_dual)
+    eps_admm = jnp.asarray(settings.eps_admm, dt)
+    admm_fp = (inf_norm(x - xp) <= eps_admm) & (inf_norm(z - zp) <= eps_admm)
+
+    status = state.status
+    status = jnp.where(active & solved, Status.SOLVED, status)
+    status = jnp.where(active & admm_fp, Status.SOLVED_ADMM, status)  # jl:105-107 precedence
+    newly_done = active & (status != Status.RUNNING)
+    iteration = state.iteration + settings.check_interval
+    iterations = jnp.where(newly_done, iteration, state.iterations)
+    return SolverState(
+        x=x,
+        z=z,
+        y=y,
+        rho=state.rho,
+        rho_cand=rho_cand,
+        status=status.astype(jnp.int32),
+        iterations=iterations,
+        res_prim=jnp.where(active, res_prim, state.res_prim),
+        res_dual=jnp.where(active, res_dual, state.res_dual),
+        iteration=iteration,
+        kkt_cache=state.kkt_cache,
+    )
+
+
+def _maybe_refactor(qp: QP, settings: Settings, backend, state: SolverState) -> SolverState:
+    """Adopt drifted rho candidates and refresh the cached factorization.
+
+    Hysteresis rule from jl:47-52: refactor lane when rho_cand*f < rho or
+    rho_cand > f*rho. Lanes that did not trip keep their rho, so re-running
+    the batched factorization leaves their factor numerically unchanged —
+    the whole-batch refactor under `lax.cond` is semantically per-lane.
+    """
+    if not settings.adaptive_rho:
+        return state
+    f = settings.rho_factor
+    active = state.status == Status.RUNNING
+    tripped = active & (
+        (state.rho_cand * f < state.rho) | (state.rho_cand > f * state.rho)
+    )
+    rho = jnp.where(tripped, state.rho_cand, state.rho)
+    sigma = jnp.asarray(settings.sigma, qp.dtype)
+
+    def do_refactor(cache):
+        return backend.refactor(cache, qp, rho, sigma, settings)
+
+    cache = jax.lax.cond(
+        jnp.any(tripped), do_refactor, lambda c: c, state.kkt_cache)
+    return SolverState(
+        x=state.x, z=state.z, y=state.y, rho=rho, rho_cand=state.rho_cand,
+        status=state.status, iterations=state.iterations,
+        res_prim=state.res_prim, res_dual=state.res_dual,
+        iteration=state.iteration, kkt_cache=cache,
+    )
+
+
+def solve(qp: QP, settings: Settings = Settings(), x0=None) -> Solution:
+    """Solve a (batched) box-constrained QP. Fully jittable; `settings` static.
+
+    Returns a :class:`Solution` whose leaves carry the problem's batch shape.
+    """
+    backend = kkt_mod.get_backend(settings.kkt_backend, qp)
+    state = _init_state(qp, settings, x0, backend)
+    max_chunks = settings.num_checks
+
+    def cond(st: SolverState):
+        return (st.iteration < max_chunks * settings.check_interval) & jnp.any(
+            st.status == Status.RUNNING)
+
+    def body(st: SolverState):
+        st = _maybe_refactor(qp, settings, backend, st)
+        x, z, y, xp, zp, cache = _run_chunk(qp, settings, backend, st)
+        st = SolverState(
+            x=st.x, z=st.z, y=st.y, rho=st.rho, rho_cand=st.rho_cand,
+            status=st.status, iterations=st.iterations, res_prim=st.res_prim,
+            res_dual=st.res_dual, iteration=st.iteration, kkt_cache=cache)
+        return _check_convergence(qp, settings, st, x, z, y, xp, zp)
+
+    state = jax.lax.while_loop(cond, body, state)
+
+    exhausted = state.status == Status.RUNNING
+    status = jnp.where(exhausted, Status.MAX_ITERATIONS, state.status).astype(jnp.int32)
+    iterations = jnp.where(exhausted, state.iteration, state.iterations)
+
+    x, y = state.x, state.y
+    if settings.polish_iterations > 0:
+        x, y = polish_fn(qp, settings, x, state.z, y, state.rho)
+
+    info = SolveInfo(
+        status=status,
+        iterations=iterations,
+        res_prim=state.res_prim,
+        res_dual=state.res_dual,
+        rho=state.rho,
+        objective=qp.objective(x),
+    )
+    return Solution(x=x, z=state.z, y=y, info=info)
+
+
+solve_jit = jax.jit(solve, static_argnames=("settings",))
