@@ -1,0 +1,227 @@
+"""Batched ProxQP-style proximal-ALM solver (second algorithm family).
+
+Solves (fleets of) equality/inequality-split QPs
+
+    min 0.5 x'Px + q'x   s.t.   Ax = b,  Cx <= d
+
+with the proximal augmented-Lagrangian iteration of the reference
+(`/root/reference/ProxQP.jl:118-298`): slack s >= 0, a single SPD matrix
+
+    M = P + rho*(A'A + C'C) + sigma*I
+
+factored once and refreshed only on rho updates (UpdateDecomposition!,
+ProxQP.jl:193-206), updates
+
+    r = -q + sigma*x + A'(rho*b - y) + C'(rho*(d - s) - z)     (:208-219)
+    x = M^{-1} r                                               (:221-225)
+    s = max(d - Cx - z/rho, 0)                                 (:227-233)
+    y = y + rho*(Ax - b)                                       (:235-240)
+    z = max(z + rho*(Cx - d + s), 0)                           (:242-249)
+
+and the PIQP convergence criteria (arXiv:2304.00290 eqs. 13a-c) with the
+tau-triggered double-sqrt adaptive rho (:277-286).
+
+TPU-first: dense batched pytrees, cached explicit M^{-1} (per-iteration solve
+is one MXU matmul + refinement), `lax.while_loop` over check-interval chunks
+with per-lane convergence masking. The reference never early-exits (its break
+is commented out, :157); we do by default (ProxQPSettings.early_exit).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+
+from ..core.problem import ProxQPProblem
+from ..core.settings import ProxQPSettings
+from ..ops.linalg import add_scaled_identity, inf_norm, matvec, matvec_t, spd_inverse, sym
+
+
+def _pytree_dataclass(cls):
+    fields = [f.name for f in dataclasses.fields(cls)]
+    return jax.tree_util.register_dataclass(cls, data_fields=fields, meta_fields=[])
+
+
+@_pytree_dataclass
+@dataclasses.dataclass(frozen=True)
+class ProxQPInfo:
+    """Batched analogue of the reference's report Dict (ProxQP.jl:127)."""
+
+    converged: jax.Array     # (*B,) bool
+    iterations: jax.Array    # (*B,) int32
+    res_prim: jax.Array      # (*B,)
+    res_dual: jax.Array      # (*B,)
+    rho: jax.Array           # (*B,)
+
+
+@_pytree_dataclass
+@dataclasses.dataclass(frozen=True)
+class ProxQPSolution:
+    x: jax.Array             # (*B, n)
+    s: jax.Array             # (*B, mi) slack for Cx <= d
+    y: jax.Array             # (*B, me) equality duals
+    z: jax.Array             # (*B, mi) inequality duals (>= 0)
+    info: ProxQPInfo
+
+
+def warm_start(prob: ProxQPProblem, reg: float = 0.0):
+    """Equality-only KKT warm start (ProxQP.jl:80-90, 102-111).
+
+    Solves [[P, A'], [A, -reg*I]] [x; y] = [-q; b] (reg=0 reproduces the
+    reference's plain `\\`; a tiny reg guards rank-deficient A under f32)
+    and sets s = max(d - Cx, 0), z = 0.
+    """
+    dt = prob.P.dtype
+    n, me = prob.n, prob.n_eq
+    batch = prob.batch_shape
+    At = jnp.swapaxes(prob.A, -1, -2)
+    top = jnp.concatenate([prob.P, At], axis=-1)
+    reg_blk = -reg * jnp.eye(me, dtype=dt)
+    bot = jnp.concatenate(
+        [prob.A, jnp.broadcast_to(reg_blk, batch + (me, me))], axis=-1)
+    K = jnp.concatenate([top, bot], axis=-2)
+    rhs = jnp.concatenate([-prob.q, prob.b], axis=-1)
+    k = jnp.linalg.solve(K, rhs[..., None])[..., 0]
+    x = k[..., :n]
+    y = k[..., n:]
+    s = jnp.maximum(prob.d - matvec(prob.C, x), 0.0)
+    z = jnp.zeros(batch + (prob.n_ineq,), dt)
+    return x, y, s, z
+
+
+def _build_M_inv(prob: ProxQPProblem, rho, sigma):
+    AtA = jnp.einsum("...ki,...kj->...ij", prob.A, prob.A)
+    CtC = jnp.einsum("...ki,...kj->...ij", prob.C, prob.C)
+    M = prob.P + rho[..., None, None] * sym(AtA + CtC)
+    return spd_inverse(add_scaled_identity(sym(M), sigma))
+
+
+def _apply_M(prob: ProxQPProblem, rho, sigma, v):
+    return (
+        matvec(prob.P, v)
+        + sigma * v
+        + rho[..., None] * (
+            matvec_t(prob.A, matvec(prob.A, v))
+            + matvec_t(prob.C, matvec(prob.C, v))
+        )
+    )
+
+
+def solve(prob: ProxQPProblem, settings: ProxQPSettings = ProxQPSettings(),
+          init=None) -> ProxQPSolution:
+    """Solve a (batched) split-form QP. Jittable; `settings` static.
+
+    ``init`` optionally provides (x, y, s, z); by default the equality-KKT
+    warm start of the reference is used.
+    """
+    dt = prob.P.dtype
+    batch = prob.batch_shape
+    sigma = jnp.asarray(settings.sigma, dt)
+
+    x, y, s, z = warm_start(prob) if init is None else init
+    rho = jnp.full(batch, settings.rho, dt)
+    M_inv = _build_M_inv(prob, rho, sigma)
+
+    def ldiv(M_inv, rho, r):
+        v = matvec(M_inv, r)
+        for _ in range(settings.kkt_refinement_steps):
+            v = v + matvec(M_inv, r - _apply_M(prob, rho, sigma, v))
+        return v
+
+    def chunk_step(carry, _):
+        x, y, s, z, rho, M_inv, converged, iters_done, res_p, res_d, it = carry
+        active = ~converged if settings.early_exit else jnp.ones_like(converged)
+        act = active[..., None]
+        rho_col = rho[..., None]
+
+        def one_iter(_, state):
+            x, s, y, z = state
+            r = (-prob.q + sigma * x
+                 + matvec_t(prob.A, rho_col * prob.b - y)
+                 + matvec_t(prob.C, rho_col * (prob.d - s) - z))
+            x_new = ldiv(M_inv, rho, r)
+            Cx = matvec(prob.C, x_new)
+            s_new = jnp.maximum(prob.d - Cx - z / rho_col, 0.0)
+            y_new = y + rho_col * (matvec(prob.A, x_new) - prob.b)
+            z_new = jnp.maximum(z + rho_col * (Cx - prob.d + s_new), 0.0)
+            return (
+                jnp.where(act, x_new, x),
+                jnp.where(act, s_new, s),
+                jnp.where(act, y_new, y),
+                jnp.where(act, z_new, z),
+            )
+
+        x, s, y, z = jax.lax.fori_loop(
+            0, settings.check_interval, one_iter, (x, s, y, z))
+        it = it + settings.check_interval
+
+        # CheckConvergence! (ProxQP.jl:252-298), PIQP criteria 13a-c.
+        Px = matvec(prob.P, x)
+        Aty = matvec_t(prob.A, y)
+        Ctz = matvec_t(prob.C, z)
+        Ax = matvec(prob.A, x)
+        Cx = matvec(prob.C, x)
+        res_prim = jnp.maximum(inf_norm(Ax - prob.b), inf_norm(Cx - prob.d + s))
+        res_dual = inf_norm(Px + Aty + Ctz + prob.q)
+        max_prim = jnp.max(
+            jnp.stack([inf_norm(Ax), inf_norm(prob.b), inf_norm(Cx),
+                       inf_norm(prob.d), inf_norm(s)]), axis=0)
+        max_dual = jnp.max(
+            jnp.stack([inf_norm(Px), inf_norm(Aty), inf_norm(Ctz),
+                       inf_norm(prob.q)]), axis=0)
+
+        now_conv = (
+            (res_prim < settings.eps_abs + settings.eps_rel * max_prim)
+            & (res_dual < settings.eps_abs + settings.eps_rel * max_dual))
+        newly = active & now_conv & ~converged
+        iters_done = jnp.where(newly, it, iters_done)
+        converged = converged | (active & now_conv)
+        res_p = jnp.where(active, res_prim, res_p)
+        res_d = jnp.where(active, res_dual, res_d)
+
+        if settings.adaptive_rho:
+            num = res_prim * max_dual
+            den = res_dual * max_prim
+            ratio = num / jnp.where(den == 0, 1.0, den)
+            trip = active & jnp.isfinite(ratio) & (den != 0) & (
+                (ratio > settings.tau) | (1.0 / jnp.where(ratio == 0, 1.0, ratio) > settings.tau))
+            # Double square root for smoother updates (ProxQP.jl:282).
+            rho_new = jnp.clip(
+                rho * jnp.sqrt(jnp.sqrt(jnp.where(trip, ratio, 1.0))),
+                settings.rho_min, settings.rho_max).astype(dt)
+            rho_next = jnp.where(trip, rho_new, rho)
+            M_inv = jax.lax.cond(
+                jnp.any(trip),
+                lambda _: _build_M_inv(prob, rho_next, sigma),
+                lambda mi: mi,
+                M_inv)
+            rho = rho_next
+
+        return (x, y, s, z, rho, M_inv, converged, iters_done, res_p, res_d, it), None
+
+    converged0 = jnp.zeros(batch, bool)
+    carry = (
+        x, y, s, z, rho, M_inv, converged0,
+        jnp.full(batch, settings.num_checks * settings.check_interval, jnp.int32),
+        jnp.full(batch, jnp.inf, dt), jnp.full(batch, jnp.inf, dt),
+        jnp.zeros((), jnp.int32))
+
+    if settings.early_exit:
+        def cond(c):
+            it = c[-1]
+            return (it < settings.num_checks * settings.check_interval) & ~jnp.all(c[6])
+
+        carry = jax.lax.while_loop(cond, lambda c: chunk_step(c, None)[0], carry)
+    else:
+        carry, _ = jax.lax.scan(chunk_step, carry, None, length=settings.num_checks)
+
+    x, y, s, z, rho, _, converged, iters_done, res_p, res_d, _ = carry
+    info = ProxQPInfo(
+        converged=converged, iterations=iters_done,
+        res_prim=res_p, res_dual=res_d, rho=rho)
+    return ProxQPSolution(x=x, s=s, y=y, z=z, info=info)
+
+
+solve_jit = jax.jit(solve, static_argnames=("settings",))

@@ -1,0 +1,144 @@
+"""ProxQP (prox-ALM) solver tests.
+
+Oracle discipline: lower the split-form problem onto the canonical box form
+and cross-check x against the host f64 OSQP-ADMM oracle — the same
+cross-family validation the reference performs by solving its ProxQP demos
+with Convex.jl/ECOS (`/root/reference/ProxQP001.jl:52-62,94`).
+"""
+
+import numpy as np
+import pytest
+
+import quadraticprogramsolver_tpu as qps
+from quadraticprogramsolver_tpu.models import proxqp
+from quadraticprogramsolver_tpu.utils.oracle import solve_qp_reference
+
+
+def _random_split_problem(n=20, me=4, mi=8, seed=0, dtype=np.float64):
+    """Dense strictly-convex QP with feasible Ax=b, Cx<=d (ProxQP001.jl-style)."""
+    rng = np.random.default_rng(seed)
+    M = rng.standard_normal((n, n))
+    P = M @ M.T + 0.5 * np.eye(n)
+    q = rng.standard_normal(n)
+    A = rng.standard_normal((me, n))
+    C = rng.standard_normal((mi, n))
+    x_feas = rng.standard_normal(n)
+    b = A @ x_feas
+    d = C @ x_feas + rng.random(mi)  # strictly feasible at x_feas
+    return qps.make_proxqp(P, q, A, b, C, d, dtype=dtype)
+
+
+def _oracle_x(prob):
+    box = prob.to_box_qp()
+    ref = solve_qp_reference(
+        np.asarray(box.P), np.asarray(box.q), np.asarray(box.A),
+        np.asarray(box.l), np.asarray(box.u),
+        eps_abs=1e-10, eps_rel=1e-10, rho=0.1)
+    assert ref.status == 3
+    return ref.x
+
+
+SETTINGS = qps.ProxQPSettings(max_iterations=4000, eps_abs=1e-9, eps_rel=1e-9)
+
+
+def test_proxqp_matches_box_oracle():
+    for seed in range(3):
+        prob = _random_split_problem(seed=seed)
+        x_ref = _oracle_x(prob)
+        sol = proxqp.solve_jit(prob, SETTINGS)
+        assert bool(sol.info.converged)
+        dev = np.abs(np.asarray(sol.x) - x_ref).max()
+        assert dev <= 1e-5, f"seed {seed}: dev {dev}"
+
+
+def test_proxqp_feasibility_and_duals():
+    prob = _random_split_problem(seed=3)
+    sol = proxqp.solve_jit(prob, SETTINGS)
+    x = np.asarray(sol.x)
+    A, b = np.asarray(prob.A), np.asarray(prob.b)
+    C, d = np.asarray(prob.C), np.asarray(prob.d)
+    assert np.abs(A @ x - b).max() <= 1e-6
+    assert (C @ x - d).max() <= 1e-6
+    z = np.asarray(sol.z)
+    assert (z >= 0).all()
+    # Stationarity: Px + q + A'y + C'z = 0.
+    P, q = np.asarray(prob.P), np.asarray(prob.q)
+    stat = P @ x + q + A.T @ np.asarray(sol.y) + C.T @ z
+    assert np.abs(stat).max() <= 1e-5
+
+
+def test_proxqp_batched():
+    probs = [_random_split_problem(seed=s) for s in (0, 1, 2, 3)]
+    import jax
+
+    batched = jax.tree.map(lambda *xs: np.stack(xs), *probs)
+    sol = proxqp.solve_jit(batched, SETTINGS)
+    assert sol.x.shape == (4, 20)
+    for i, p in enumerate(probs):
+        solo = proxqp.solve_jit(p, SETTINGS)
+        dev = np.abs(np.asarray(sol.x[i]) - np.asarray(solo.x)).max()
+        assert dev <= 1e-8, f"lane {i}: {dev}"
+
+
+def test_proxqp_no_early_exit_matches_reference_budget():
+    # The reference never breaks out of its loop (ProxQP.jl:157); with
+    # early_exit=False the scan must run the full budget and still converge.
+    prob = _random_split_problem(seed=1)
+    st = qps.ProxQPSettings(max_iterations=500, eps_abs=1e-8, eps_rel=1e-8,
+                            early_exit=False)
+    sol = proxqp.solve_jit(prob, st)
+    assert bool(sol.info.converged)
+    x_ref = _oracle_x(prob)
+    assert np.abs(np.asarray(sol.x) - x_ref).max() <= 1e-5
+
+
+def test_proxqp_warm_start_equality_kkt():
+    # Warm start must satisfy the equality constraints at t=0 (ProxQP.jl:80-90).
+    prob = _random_split_problem(seed=5)
+    x, y, s, z = proxqp.warm_start(prob)
+    A, b = np.asarray(prob.A), np.asarray(prob.b)
+    assert np.abs(A @ np.asarray(x) - b).max() <= 1e-8
+    assert (np.asarray(s) >= 0).all()
+    assert np.count_nonzero(np.asarray(z)) == 0
+
+
+def test_lsq_frontend_both_families():
+    rng = np.random.default_rng(7)
+    m, n = 30, 12
+    A = rng.standard_normal((m, n))
+    b = rng.standard_normal(m)
+    B = rng.standard_normal((5, n))
+    x_feas = rng.standard_normal(n)
+    c = B @ x_feas + rng.random(5)
+    D = rng.standard_normal((3, n))
+    e = D @ x_feas
+
+    from quadraticprogramsolver_tpu.frontends import lsq
+
+    box = lsq.lsq_to_qp(A, b, B, c, D, e)
+    ref = solve_qp_reference(
+        np.asarray(box.P), np.asarray(box.q), np.asarray(box.A),
+        np.asarray(box.l), np.asarray(box.u), eps_abs=1e-10, eps_rel=1e-10)
+    assert ref.status == 3
+
+    sol_admm = lsq.solve_lsq(
+        A, b, B, c, D, e,
+        settings=qps.Settings(eps_abs=1e-9, eps_rel=1e-9, rho=0.1,
+                              max_iterations=20000))
+    dev = np.abs(np.asarray(sol_admm.x) - ref.x).max()
+    assert dev <= 1e-5, dev
+
+    sol_prox = lsq.solve_lsq_proxqp(A, b, B, c, D, e, settings=SETTINGS)
+    dev = np.abs(np.asarray(sol_prox.x) - ref.x).max()
+    assert dev <= 1e-5, dev
+
+
+def test_lsq_unconstrained_matches_lstsq():
+    rng = np.random.default_rng(9)
+    A = rng.standard_normal((40, 10))
+    b = rng.standard_normal(40)
+    from quadraticprogramsolver_tpu.frontends import lsq
+
+    sol = lsq.solve_lsq(A, b, settings=qps.Settings(eps_abs=1e-10, eps_rel=1e-10))
+    x_np = np.linalg.lstsq(A, b, rcond=None)[0]
+    assert np.abs(np.asarray(sol.x) - x_np).max() <= 1e-6
