@@ -77,10 +77,30 @@ class QP:
     def astype(self, dtype) -> "QP":
         return QP(*(x.astype(dtype) for x in (self.P, self.q, self.A, self.l, self.u)))
 
+    # -- operator protocol (shared with SparseQP; solvers program against it) --
+
+    def matvec_P(self, v: jax.Array) -> jax.Array:
+        return jnp.einsum("...ij,...j->...i", self.P, v)
+
+    def matvec_A(self, v: jax.Array) -> jax.Array:
+        return jnp.einsum("...ij,...j->...i", self.A, v)
+
+    def matvec_At(self, v: jax.Array) -> jax.Array:
+        return jnp.einsum("...ij,...i->...j", self.A, v)
+
+    def diag_P(self) -> jax.Array:
+        return jnp.diagonal(self.P, axis1=-2, axis2=-1)
+
+    def diag_AtA(self) -> jax.Array:
+        return jnp.sum(self.A * self.A, axis=-2)
+
+    @property
+    def is_dense(self) -> bool:
+        return True
+
     def objective(self, x: jax.Array) -> jax.Array:
         """0.5 x'Px + q'x, batched over leading axes."""
-        Px = jnp.einsum("...ij,...j->...i", self.P, x)
-        return 0.5 * jnp.sum(x * Px, axis=-1) + jnp.sum(self.q * x, axis=-1)
+        return 0.5 * jnp.sum(x * self.matvec_P(x), axis=-1) + jnp.sum(self.q * x, axis=-1)
 
 
 def validate_qp(qp: QP) -> None:

@@ -104,9 +104,9 @@ def _check_convergence(qp: QP, settings: Settings, state: SolverState, x, z, y, 
     (jl:102-107 assigns convPrimDual then overwrites with convAdmm).
     """
     dt = qp.dtype
-    Ax = matvec(qp.A, x)
-    Px = matvec(qp.P, x)
-    ATy = matvec_t(qp.A, y)
+    Ax = qp.matvec_A(x)
+    Px = qp.matvec_P(x)
+    ATy = qp.matvec_At(y)
 
     res_prim = inf_norm(Ax - z)
     res_dual = inf_norm(Px + qp.q + ATy)
@@ -185,8 +185,12 @@ def _maybe_refactor(qp: QP, settings: Settings, backend, state: SolverState) -> 
 def solve(qp: QP, settings: Settings = Settings(), x0=None) -> Solution:
     """Solve a (batched) box-constrained QP. Fully jittable; `settings` static.
 
+    ``qp`` may be a dense batched :class:`QP` or a single large
+    :class:`~..core.sparse_problem.SparseQP` (matrix-free CG path).
     Returns a :class:`Solution` whose leaves carry the problem's batch shape.
     """
+    if settings.polish_iterations > 0 and not qp.is_dense:
+        raise ValueError("polish requires a dense QP")
     backend = kkt_mod.get_backend(settings.kkt_backend, qp)
     state = _init_state(qp, settings, x0, backend)
     max_chunks = settings.num_checks

@@ -47,29 +47,32 @@ from ..core.settings import (
 from ..ops.linalg import add_scaled_identity, inf_norm, matvec, matvec_t, spd_inverse, sym
 
 
-def resolve_backend(kind: KKTBackendKind, qp: QP) -> KKTBackendKind:
+def resolve_backend(kind: KKTBackendKind, qp) -> KKTBackendKind:
     """Static auto-selection, mirroring the reference's direct/iterative switch
-    on KKT dimension (`SolveQuadraticProgram.m:190-204`). Density is not
-    consulted — the dense batched representation has density 1 by
-    construction; problem size alone decides."""
+    on KKT dimension and density (`SolveQuadraticProgram.m:190-204`): sparse
+    problems always take the matrix-free CG path (never factorized — the
+    regime the reference routes to PCG); dense problems go direct below the
+    size threshold."""
     if kind is not KKTBackendKind.AUTO:
+        if kind in (KKTBackendKind.CHOLESKY, KKTBackendKind.KKT_LDL) and not qp.is_dense:
+            raise ValueError(f"{kind} requires a dense QP; use CG for SparseQP")
         return kind
-    if qp.n + qp.m <= MAX_DIRECT_KKT_DIM:
+    if qp.is_dense and qp.n + qp.m <= MAX_DIRECT_KKT_DIM:
         return KKTBackendKind.CHOLESKY
     return KKTBackendKind.CG
 
 
-def _normal_rhs(qp: QP, x, z, y, rho, sigma):
+def _normal_rhs(qp, x, z, y, rho, sigma):
     """sigma*x - q + A'(rho*z - y) — the reduced-KKT right-hand side."""
-    return sigma * x - qp.q + matvec_t(qp.A, rho[..., None] * z - y)
+    return sigma * x - qp.q + qp.matvec_At(rho[..., None] * z - y)
 
 
-def _apply_normal(qp: QP, rho, sigma, v):
+def _apply_normal(qp, rho, sigma, v):
     """Matrix-free M @ v = P v + sigma v + rho A'(A v).
 
     Same operator the reference's matrix-free backends wrap
     (LinearSystemSolvers.jl:152-157)."""
-    return matvec(qp.P, v) + sigma * v + rho[..., None] * matvec_t(qp.A, matvec(qp.A, v))
+    return qp.matvec_P(v) + sigma * v + rho[..., None] * qp.matvec_At(qp.matvec_A(v))
 
 
 # --------------------------------------------------------------------------
@@ -98,7 +101,99 @@ def cholesky_solve(cache, qp: QP, x, z, y, rho, settings: Settings):
     for _ in range(settings.kkt_refinement_steps):
         r = b - _apply_normal(qp, rho, sigma, xx)
         xx = xx + matvec(M_inv, r)
-    zz = matvec(qp.A, xx)
+    zz = qp.matvec_A(xx)
+    return xx, zz, cache
+
+
+# --------------------------------------------------------------------------
+# Quasi-definite KKT LDL' backend (the OSQP-paper factorization)
+# --------------------------------------------------------------------------
+#
+# Factors the 2x2 quasi-definite KKT matrix
+#     K = [[P + sigma*I, A'], [A, -I/rho]]
+# as L D L' with unit-lower L and signed diagonal D — no pivoting needed for
+# quasi-definite matrices (the property QDLDL relies on; reference backends
+# QDLdl!/LaLdl!/FacLdl!, LinearSystemSolvers.jl:16-107). Batched over lanes;
+# the factorization is a lax.scan over columns (a rare event under the rho
+# hysteresis), the per-iteration solve is two batched triangular solves.
+# The default CHOLESKY backend is faster on TPU; this one exists for parity
+# with the reference's direct KKT path and as the delta-accurate option when
+# the normal equations' squared conditioning bites.
+
+
+def _build_kkt_matrix(qp: QP, rho, sigma):
+    n, m = qp.n, qp.m
+    dt = qp.dtype
+    batch = qp.batch_shape
+    At = jnp.swapaxes(qp.A, -1, -2)
+    Pn = add_scaled_identity(sym(qp.P), sigma)
+    top = jnp.concatenate([Pn, jnp.broadcast_to(At, batch + (n, m))], axis=-1)
+    neg = (-1.0 / rho)[..., None] * jnp.eye(m, dtype=dt)
+    bot = jnp.concatenate([jnp.broadcast_to(qp.A, batch + (m, n)), neg], axis=-1)
+    return jnp.concatenate([top, bot], axis=-2)
+
+
+def _ldl_factor(K):
+    """Batched dense LDL' without pivoting: K (*B, N, N) -> (L unit-lower, d)."""
+    N = K.shape[-1]
+    idx = jnp.arange(N)
+
+    def step(W, j):
+        dj = W[..., j, j]
+        below = (idx > j).astype(K.dtype)
+        c = W[..., :, j] * below
+        lcol = c / dj[..., None]
+        W = W - lcol[..., :, None] * c[..., None, :]
+        return W, (lcol, dj)
+
+    _, (cols, ds) = jax.lax.scan(step, K, idx)
+    L = jnp.moveaxis(cols, 0, -1)  # (*B, N, N), column j in last axis
+    L = L + jnp.eye(N, dtype=K.dtype)
+    d = jnp.moveaxis(ds, 0, -1)    # (*B, N)
+    return L, d
+
+
+def _ldl_apply_kkt(qp: QP, rho, sigma, v):
+    """K @ v for the refinement residual, matrix-free."""
+    n = qp.n
+    v1, v2 = v[..., :n], v[..., n:]
+    top = qp.matvec_P(v1) + sigma * v1 + qp.matvec_At(v2)
+    bot = qp.matvec_A(v1) - v2 / rho[..., None]
+    return jnp.concatenate([top, bot], axis=-1)
+
+
+def kkt_ldl_init(qp: QP, rho, sigma, settings: Settings):
+    L, d = _ldl_factor(_build_kkt_matrix(qp, rho, sigma))
+    return {"L": L, "d": d}
+
+
+def kkt_ldl_refactor(cache, qp: QP, rho, sigma, settings: Settings):
+    return kkt_ldl_init(qp, rho, sigma, settings)
+
+
+def _ldl_solve_vec(cache, b):
+    from jax.scipy.linalg import solve_triangular
+
+    L, d = cache["L"], cache["d"]
+    w = solve_triangular(L, b[..., None], lower=True, unit_diagonal=True)[..., 0]
+    w = w / d
+    v = solve_triangular(
+        jnp.swapaxes(L, -1, -2), w[..., None], lower=False, unit_diagonal=True)[..., 0]
+    return v
+
+
+def kkt_ldl_solve(cache, qp: QP, x, z, y, rho, settings: Settings):
+    """Direct-path solve exactly as the reference (jl:205-210): solve the
+    full KKT, then zz = z + (v2 - y)/rho."""
+    dt = qp.dtype
+    sigma = jnp.asarray(settings.sigma, dt)
+    rho_col = rho[..., None]
+    rhs = jnp.concatenate([sigma * x - qp.q, z - y / rho_col], axis=-1)
+    v = _ldl_solve_vec(cache, rhs)
+    for _ in range(settings.kkt_refinement_steps):
+        v = v + _ldl_solve_vec(cache, rhs - _ldl_apply_kkt(qp, rho, sigma, v))
+    xx = v[..., : qp.n]
+    zz = z + (v[..., qp.n:] - y) / rho_col
     return xx, zz, cache
 
 
@@ -106,14 +201,12 @@ def cholesky_solve(cache, qp: QP, x, z, y, rho, settings: Settings):
 # Matrix-free PCG backend (iterative path)
 # --------------------------------------------------------------------------
 
-def _jacobi_diag_inv(qp: QP, rho, sigma):
-    diag_P = jnp.diagonal(qp.P, axis1=-2, axis2=-1)
-    diag_AtA = jnp.sum(qp.A * qp.A, axis=-2)
-    d = diag_P + sigma + rho[..., None] * diag_AtA
+def _jacobi_diag_inv(qp, rho, sigma):
+    d = qp.diag_P() + sigma + rho[..., None] * qp.diag_AtA()
     return jnp.where(d > 0, 1.0 / d, 1.0)
 
 
-def cg_init(qp: QP, rho, sigma, settings: Settings):
+def cg_init(qp, rho, sigma, settings: Settings):
     batch = qp.batch_shape
     return {
         "diag_inv": _jacobi_diag_inv(qp, rho, sigma),
@@ -124,11 +217,11 @@ def cg_init(qp: QP, rho, sigma, settings: Settings):
     }
 
 
-def cg_refactor(cache, qp: QP, rho, sigma, settings: Settings):
+def cg_refactor(cache, qp, rho, sigma, settings: Settings):
     return {"diag_inv": _jacobi_diag_inv(qp, rho, sigma), "xx": cache["xx"]}
 
 
-def cg_solve(cache, qp: QP, x, z, y, rho, settings: Settings):
+def cg_solve(cache, qp, x, z, y, rho, settings: Settings):
     sigma = jnp.asarray(settings.sigma, qp.dtype)
     b = _normal_rhs(qp, x, z, y, rho, sigma)
     xx = _pcg(
@@ -139,7 +232,7 @@ def cg_solve(cache, qp: QP, x, z, y, rho, settings: Settings):
         abs_tol=settings.cg_eps,
         max_iterations=settings.cg_max_iterations,
     )
-    zz = matvec(qp.A, xx)
+    zz = qp.matvec_A(xx)
     return xx, zz, {**cache, "xx": xx}
 
 
@@ -195,6 +288,7 @@ class Backend:
 
 BACKENDS = {
     KKTBackendKind.CHOLESKY: Backend(cholesky_init, cholesky_refactor, cholesky_solve),
+    KKTBackendKind.KKT_LDL: Backend(kkt_ldl_init, kkt_ldl_refactor, kkt_ldl_solve),
     KKTBackendKind.CG: Backend(cg_init, cg_refactor, cg_solve),
 }
 
