@@ -1,0 +1,187 @@
+"""Benchmark harness — sweep, timing, and CSV/JSONL results emitter.
+
+Re-creates the reference's BenchmarkTools-based harness
+(`/root/reference/RunBenchmarks.jl`): a sweep over problem classes x sizes x
+simulations (:88-90), per-case best-of-N timing (:98-99), convergence flag
+recording (:104), and a CSV results file with a metadata header (solver
+label, version, hardware, UTC date — :59-62) and schema-equality guard on
+append (:123-137). JSONL output is added for machine consumption.
+
+TPU-specific measurement discipline: times are wall-clock around a jitted
+call with `block_until_ready`, after a warmup call that absorbs compilation
+(BenchmarkTools' setup/evals analogue); throughput is reported as
+solves/sec/chip and ADMM iterations/sec alongside the reference's min-time
+metric.
+"""
+
+from __future__ import annotations
+
+import csv
+import dataclasses
+import datetime
+import json
+import os
+import time
+from typing import Sequence
+
+import numpy as np
+
+from .. import __version__
+from ..core.settings import Settings
+from ..models.admm import solve_jit
+from ..problems.generator import ALL_CLASSES, ProblemClass, generate_batch
+
+CSV_COLUMNS = [
+    "label", "version", "device", "date_utc",
+    "problem_class", "num_elements", "num_constraints", "batch",
+    "best_time_sec", "mean_time_sec", "solved", "total",
+    "solves_per_sec", "iterations_per_sec", "median_iterations",
+]
+
+
+@dataclasses.dataclass
+class BenchCase:
+    problem_class: ProblemClass
+    num_elements: int
+    num_constraints: int = 0
+    batch: int = 64
+
+
+@dataclasses.dataclass
+class BenchResult:
+    case: BenchCase
+    best_time_sec: float
+    mean_time_sec: float
+    solved: int
+    total: int
+    solves_per_sec: float
+    iterations_per_sec: float
+    median_iterations: float
+
+
+def _device_label() -> str:
+    import jax
+
+    d = jax.devices()[0]
+    return f"{d.platform}:{getattr(d, 'device_kind', 'unknown')}"
+
+
+def time_solve(qp, settings: Settings, samples: int = 3):
+    """Warmup-compile then time `samples` repeat solves; returns (times, sol)."""
+    sol = solve_jit(qp, settings)
+    sol.x.block_until_ready()
+    times = []
+    for _ in range(samples):
+        t0 = time.perf_counter()
+        sol = solve_jit(qp, settings)
+        sol.x.block_until_ready()
+        times.append(time.perf_counter() - t0)
+    return times, sol
+
+
+def run_case(case: BenchCase, settings: Settings, seed: int = 1234,
+             samples: int = 3, dtype=np.float32) -> BenchResult:
+    qp = generate_batch(case.problem_class, case.batch, case.num_elements,
+                        case.num_constraints, seed=seed, dtype=dtype)
+    times, sol = time_solve(qp, settings, samples)
+    status = np.asarray(sol.info.status)
+    iters = np.asarray(sol.info.iterations)
+    solved = int((status >= 2).sum())
+    best = min(times)
+    return BenchResult(
+        case=case,
+        best_time_sec=best,
+        mean_time_sec=float(np.mean(times)),
+        solved=solved,
+        total=case.batch,
+        solves_per_sec=solved / best if best > 0 else 0.0,
+        iterations_per_sec=float(iters.sum()) / best if best > 0 else 0.0,
+        median_iterations=float(np.median(iters)),
+    )
+
+
+def default_sweep(small: int = 20, large: int = 100, batch: int = 64) -> list[BenchCase]:
+    """9 classes x 2 sizes, mirroring the RunBenchmarks.jl grid (:88-90).
+
+    The m=100n families get capped constraint counts (as in the tests) so
+    the dense sweep stays tractable; the paper-default ratios remain
+    available by passing num_constraints=0.
+    """
+    capped = {ProblemClass.LASSO: 60, ProblemClass.HUBER: 60,
+              ProblemClass.SVM: 60, ProblemClass.INEQUALITY_QP: 60}
+    cases = []
+    for cls in ALL_CLASSES:
+        for n in (small, large):
+            cases.append(BenchCase(cls, n, capped.get(cls, 0), batch))
+    return cases
+
+
+def emit_results(results: Sequence[BenchResult], csv_path: str | None = None,
+                 jsonl_path: str | None = None, label: str = "qps-tpu") -> None:
+    """Append results with metadata; guard against schema drift on append
+    (the reference's header-equality check, RunBenchmarks.jl:123-137)."""
+    meta = {
+        "label": label,
+        "version": __version__,
+        "device": _device_label(),
+        "date_utc": datetime.datetime.now(datetime.UTC).isoformat(timespec="seconds"),
+    }
+    rows = []
+    for r in results:
+        rows.append({
+            **meta,
+            "problem_class": r.case.problem_class.value,
+            "num_elements": r.case.num_elements,
+            "num_constraints": r.case.num_constraints,
+            "batch": r.case.batch,
+            "best_time_sec": f"{r.best_time_sec:.6g}",
+            "mean_time_sec": f"{r.mean_time_sec:.6g}",
+            "solved": r.solved,
+            "total": r.total,
+            "solves_per_sec": f"{r.solves_per_sec:.6g}",
+            "iterations_per_sec": f"{r.iterations_per_sec:.6g}",
+            "median_iterations": r.median_iterations,
+        })
+    if csv_path:
+        exists = os.path.exists(csv_path)
+        if exists:
+            with open(csv_path) as f:
+                header = next(csv.reader(f), None)
+            if header != CSV_COLUMNS:
+                raise ValueError(
+                    f"existing CSV schema {header} != current {CSV_COLUMNS}; "
+                    "refusing to append (schema guard)")
+        with open(csv_path, "a", newline="") as f:
+            w = csv.DictWriter(f, fieldnames=CSV_COLUMNS)
+            if not exists:
+                w.writeheader()
+            w.writerows(rows)
+    if jsonl_path:
+        with open(jsonl_path, "a") as f:
+            for row in rows:
+                f.write(json.dumps(row) + "\n")
+
+
+def run_sweep(cases: Sequence[BenchCase] | None = None,
+              settings: Settings | None = None,
+              csv_path: str | None = None, jsonl_path: str | None = None,
+              seed: int = 1234, samples: int = 3, dtype=np.float32,
+              verbose: bool = True) -> list[BenchResult]:
+    cases = default_sweep() if cases is None else cases
+    settings = settings or Settings(
+        max_iterations=4000, eps_abs=1e-4, eps_rel=1e-4, rho=0.1,
+        adaptive_rho=True)
+    results = []
+    for case in cases:
+        r = run_case(case, settings, seed=seed, samples=samples, dtype=dtype)
+        results.append(r)
+        if verbose:
+            print(
+                f"{case.problem_class.value:>16} n={case.num_elements:<5} "
+                f"B={case.batch:<5} {r.best_time_sec*1e3:8.1f} ms  "
+                f"{r.solves_per_sec:10.0f} solves/s  "
+                f"{r.iterations_per_sec:12.0f} iter/s  "
+                f"solved {r.solved}/{r.total}")
+    if csv_path or jsonl_path:
+        emit_results(results, csv_path, jsonl_path)
+    return results

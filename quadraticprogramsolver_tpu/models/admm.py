@@ -191,6 +191,15 @@ def solve(qp: QP, settings: Settings = Settings(), x0=None) -> Solution:
     """
     if settings.polish_iterations > 0 and not qp.is_dense:
         raise ValueError("polish requires a dense QP")
+    # TPU: f32 matmuls default to bf16 MXU passes, which floors the KKT-solve
+    # accuracy at ~1e-2 relative and stalls convergence. The per-iteration ops
+    # are HBM-bound matvecs, so full-f32 accumulation costs almost nothing;
+    # only the rare refactor (n^3) pays, which is the right trade.
+    with jax.default_matmul_precision("highest"):
+        return _solve_impl(qp, settings, x0)
+
+
+def _solve_impl(qp: QP, settings: Settings, x0) -> Solution:
     backend = kkt_mod.get_backend(settings.kkt_backend, qp)
     state = _init_state(qp, settings, x0, backend)
     max_chunks = settings.num_checks

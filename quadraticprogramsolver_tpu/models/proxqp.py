@@ -116,6 +116,12 @@ def solve(prob: ProxQPProblem, settings: ProxQPSettings = ProxQPSettings(),
     ``init`` optionally provides (x, y, s, z); by default the equality-KKT
     warm start of the reference is used.
     """
+    # Full-f32 matmul accumulation on TPU (see models/admm.py rationale).
+    with jax.default_matmul_precision("highest"):
+        return _solve_impl(prob, settings, init)
+
+
+def _solve_impl(prob: ProxQPProblem, settings: ProxQPSettings, init) -> ProxQPSolution:
     dt = prob.P.dtype
     batch = prob.batch_shape
     sigma = jnp.asarray(settings.sigma, dt)

@@ -172,7 +172,10 @@ def solve_block_split(qp: QP, settings: Settings = Settings(),
     l = jax.device_put(qp.l, sharding(P(BLOCK_AXIS)))
     u = jax.device_put(qp.u, sharding(P(BLOCK_AXIS)))
 
-    x, z, y, status, it, rp, rd, rho = run(Pm, q, A, l, u)
+    # Full-f32 matmul accumulation on TPU (see models/admm.py rationale);
+    # the context is trace-time, so wrapping the first (tracing) call suffices.
+    with jax.default_matmul_precision("highest"):
+        x, z, y, status, it, rp, rd, rho = run(Pm, q, A, l, u)
     info = SolveInfo(
         status=status, iterations=it, res_prim=rp, res_dual=rd, rho=rho,
         objective=qp.objective(x))
