@@ -73,6 +73,13 @@ class Settings:
     #: lives in f32; one refinement step restores most of the accuracy the
     #: f64 reference gets for free. 0 disables.
     kkt_refinement_steps: int = 1
+    #: Run each check-interval chunk as one fused Pallas kernel (per-lane
+    #: matrices resident in VMEM across all iterations of the chunk — ~K*2.5x
+    #: less HBM traffic than per-iteration matvecs). Requires the dense
+    #: CHOLESKY backend, float32, one batch axis, and n/m multiples of 128
+    #: (pad_qp); silently falls back to the XLA chunk otherwise. Refinement
+    #: steps are not applied inside the fused chunk.
+    fused_chunk: bool = False
 
     def __post_init__(self):
         if self.max_iterations < 1:

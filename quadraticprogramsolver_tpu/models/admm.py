@@ -69,8 +69,34 @@ def _init_state(qp: QP, settings: Settings, x0, backend) -> SolverState:
     )
 
 
+def _fused_chunk_ok(qp: QP, settings: Settings) -> bool:
+    from ..core.settings import KKTBackendKind
+
+    return (
+        settings.fused_chunk
+        and qp.is_dense
+        and qp.dtype == jnp.float32
+        and len(qp.batch_shape) == 1
+        and qp.n % 128 == 0
+        and qp.m % 128 == 0
+        and kkt_mod.resolve_backend(settings.kkt_backend, qp) is KKTBackendKind.CHOLESKY
+    )
+
+
 def _run_chunk(qp: QP, settings: Settings, backend, state: SolverState):
     """check_interval masked ADMM iterations; returns new (x,z,y,xp,zp,cache)."""
+    if _fused_chunk_ok(qp, settings):
+        from ..ops.fused_admm import fused_admm_chunk
+
+        active = state.status == Status.RUNNING
+        x, z, y, xp, zp = fused_admm_chunk(
+            state.kkt_cache["M_inv"], qp.A, qp.q, qp.l, qp.u,
+            state.x, state.z, state.y, state.rho, active,
+            K=settings.check_interval, alpha=settings.alpha,
+            sigma=settings.sigma,
+            interpret=jax.default_backend() != "tpu")
+        return x, z, y, xp, zp, state.kkt_cache
+
     dt = qp.dtype
     alpha = jnp.asarray(settings.alpha, dt)
     alpha1 = jnp.asarray(1.0 - settings.alpha, dt)
