@@ -57,13 +57,16 @@ def solve_qp_reference(
     adaptive_rho: bool = True,
     rho_factor: float = 5.0,
     check_interval: int = 25,
+    linsys: str = "ldl",
 ) -> OracleResult:
-    """Scalar f64 OSQP-ADMM with sparse-LU KKT solves.
+    """Scalar f64 OSQP-ADMM with sparse direct KKT solves.
 
     Same iteration as `SolveQuadraticProgram.jl:45-71`; KKT system
-    [[P+sigma*I, A'], [A, -I/rho]] solved by scipy splu (re-factored on rho
-    hysteresis trips, :47-52). Defaults run an order of magnitude tighter than
-    the acceptance threshold, mirroring RunTests.jl:50-58 (oracle at 1e-7,
+    [[P+sigma*I, A'], [A, -I/rho]] factored by the native quasi-definite
+    LDL' (utils/native.py, linsys="ldl" — the role QDLDL plays for the
+    reference) or scipy splu (linsys="splu"), re-factored on rho hysteresis
+    trips (:47-52). Defaults run an order of magnitude tighter than the
+    acceptance threshold, mirroring RunTests.jl:50-58 (oracle at 1e-7,
     accept at 1e-5).
     """
     P = sp.csc_matrix(P)
@@ -73,15 +76,26 @@ def solve_qp_reference(
     u = np.asarray(u, dtype=np.float64)
     n, m = q.size, l.size
 
-    def factor(rho_val: float):
-        K = sp.bmat(
-            [
-                [P + sigma * sp.identity(n), A.T],
-                [A, -sp.identity(m) / rho_val],
-            ],
-            format="csc",
-        )
-        return spla.splu(K)
+    if linsys == "ldl":
+        from .native import kkt_factorization
+
+        def factor(rho_val: float):
+            return kkt_factorization(P, A, rho_val, sigma)
+
+    elif linsys == "splu":
+
+        def factor(rho_val: float):
+            K = sp.bmat(
+                [
+                    [P + sigma * sp.identity(n), A.T],
+                    [A, -sp.identity(m) / rho_val],
+                ],
+                format="csc",
+            )
+            return spla.splu(K)
+
+    else:
+        raise ValueError(f"unknown linsys {linsys!r} (use 'ldl' or 'splu')")
 
     x = np.zeros(n) if x0 is None else np.asarray(x0, dtype=np.float64).copy()
     z = np.zeros(m)

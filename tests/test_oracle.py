@@ -38,6 +38,18 @@ def test_oracle_unconstrained_analytic():
     assert np.abs(res.x - x_star).max() < 1e-7
 
 
+def test_oracle_linsys_backends_agree():
+    # Native quasi-definite LDL' vs scipy splu must produce the same solve.
+    data = generate_random_qp(ProblemClass.RANDOM_QP, 25, seed=0)
+    a = solve_qp_reference(data.P, data.q, data.A, data.l, data.u,
+                           eps_abs=1e-10, eps_rel=1e-10, linsys="ldl")
+    b = solve_qp_reference(data.P, data.q, data.A, data.l, data.u,
+                           eps_abs=1e-10, eps_rel=1e-10, linsys="splu")
+    assert a.status == b.status == 3
+    assert a.iterations == b.iterations
+    assert np.abs(a.x - b.x).max() <= 1e-9
+
+
 def test_oracle_active_bound():
     # min 0.5 x^2 - 2x s.t. 0 <= x <= 1 -> x* = 1, dual y = -(P x + q) = 1 > 0 at upper.
     res = solve_qp_reference([[1.0]], [-2.0], [[1.0]], [0.0], [1.0],
