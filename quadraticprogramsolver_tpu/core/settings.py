@@ -80,6 +80,9 @@ class Settings:
     #: (pad_qp); silently falls back to the XLA chunk otherwise. Refinement
     #: steps are not applied inside the fused chunk.
     fused_chunk: bool = False
+    #: Record per-check residuals/rho into SolveInfo.history (device-side
+    #: trace buffers of shape (num_checks, *B)).
+    record_history: bool = False
 
     def __post_init__(self):
         if self.max_iterations < 1:

@@ -64,6 +64,9 @@ class SolverState:
     res_dual: jax.Array
     iteration: jax.Array
     kkt_cache: object
+    #: Optional per-check trace dict (res_prim/res_dual/rho, shape
+    #: (num_checks, *B)); None unless Settings.record_history.
+    history: object = None
 
 
 @_pytree_dataclass
@@ -77,6 +80,10 @@ class SolveInfo:
     res_dual: jax.Array      # (*B,) dual residual inf-norm at last check
     rho: jax.Array           # (*B,) final penalty parameter
     objective: jax.Array     # (*B,) 0.5 x'Px + q'x at the returned x
+    #: Optional residual trace: dict with res_prim/res_dual/rho of shape
+    #: (num_checks, *B) (inf past the stopping check). The reference's
+    #: residual printout (ProxQP.jl:272, commented) as device-side data.
+    history: object = None
 
     @property
     def solved(self) -> jax.Array:

@@ -1,0 +1,61 @@
+"""Warm-started QP sequences (MPC / tracking workloads) under one jit.
+
+The reference's only warm-start facility is the initial ``vX`` argument
+(`SolveQuadraticProgram.jl:14`; ProxQP warm-starts from the equality KKT,
+`ProxQP.jl:80-90`). For receding-horizon control the same QP is re-solved at
+every tick with slowly-drifting data — the canonical TPU-native formulation
+is a `lax.scan` over the time axis carrying (x, z, y) between solves, so an
+entire horizon of warm-started solves (optionally batched over scenarios)
+compiles to a single XLA program.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..core.problem import QP
+from ..core.settings import Settings
+from ..core.state import Solution
+from ..models import admm
+
+
+def warm_start_from(sol: Solution):
+    """Extract (x0, z0, y0) to warm-start the next solve in a sequence."""
+    return sol.x, sol.z, sol.y
+
+
+def solve_sequence(qp_seq: QP, settings: Settings = Settings(),
+                   init=None) -> Solution:
+    """Solve a time sequence of QPs, warm-starting each from its predecessor.
+
+    ``qp_seq`` leaves carry a leading time axis: P (T, *B, n, n), etc. The
+    scan carries (x, z, y); returned Solution leaves carry (T, *B, ...).
+    Fully jittable — an MPC horizon (or a sliding benchmark sweep) runs as
+    one compiled program with no host round-trips.
+    """
+    T = qp_seq.q.shape[0]
+    batch = qp_seq.q.shape[1:-1]
+    dt = qp_seq.dtype
+    n, m = qp_seq.P.shape[-1], qp_seq.A.shape[-2]
+
+    if init is None:
+        x0 = jnp.zeros(batch + (n,), dt)
+        z0 = jnp.zeros(batch + (m,), dt)
+        y0 = jnp.zeros(batch + (m,), dt)
+    else:
+        x0, z0, y0 = (jnp.asarray(v, dt) for v in init)
+    rho0 = jnp.full(batch, settings.rho, dt)
+
+    def step(carry, qp_t):
+        x, z, y, rho = carry
+        # Carry the adapted rho too: re-adapting from settings.rho each tick
+        # costs more iterations than the warm primal/dual saves.
+        sol = admm.solve(qp_t, settings, x0=x, z0=z, y0=y, rho0=rho)
+        return (sol.x, sol.z, sol.y, sol.info.rho), sol
+
+    _, sols = jax.lax.scan(step, (x0, z0, y0, rho0), qp_seq)
+    return sols
+
+
+solve_sequence_jit = jax.jit(solve_sequence, static_argnames=("settings",))

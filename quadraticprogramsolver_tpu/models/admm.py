@@ -47,17 +47,23 @@ from . import kkt as kkt_mod
 from .polish import polish as polish_fn
 
 
-def _init_state(qp: QP, settings: Settings, x0, backend) -> SolverState:
+def _init_state(qp: QP, settings: Settings, x0, backend, z0=None, y0=None,
+                rho0=None) -> SolverState:
     batch = qp.batch_shape
     dt = qp.dtype
     x = jnp.zeros(batch + (qp.n,), dt) if x0 is None else jnp.asarray(x0, dt)
-    rho = jnp.full(batch, settings.rho, dt)
+    rho = (jnp.full(batch, settings.rho, dt) if rho0 is None
+           else jnp.broadcast_to(jnp.asarray(rho0, dt), batch))
     sigma = jnp.asarray(settings.sigma, dt)
     cache = backend.init(qp, rho, sigma, settings)
+    history = None
+    if settings.record_history:
+        buf = lambda: jnp.full((settings.num_checks,) + batch, jnp.inf, dt)
+        history = {"res_prim": buf(), "res_dual": buf(), "rho": buf()}
     return SolverState(
         x=x,
-        z=jnp.zeros(batch + (qp.m,), dt),
-        y=jnp.zeros(batch + (qp.m,), dt),
+        z=jnp.zeros(batch + (qp.m,), dt) if z0 is None else jnp.asarray(z0, dt),
+        y=jnp.zeros(batch + (qp.m,), dt) if y0 is None else jnp.asarray(y0, dt),
         rho=rho,
         rho_cand=rho,
         status=jnp.zeros(batch, jnp.int32),
@@ -66,6 +72,7 @@ def _init_state(qp: QP, settings: Settings, x0, backend) -> SolverState:
         res_dual=jnp.full(batch, jnp.inf, dt),
         iteration=jnp.zeros((), jnp.int32),
         kkt_cache=cache,
+        history=history,
     )
 
 
@@ -162,6 +169,14 @@ def _check_convergence(qp: QP, settings: Settings, state: SolverState, x, z, y, 
     newly_done = active & (status != Status.RUNNING)
     iteration = state.iteration + settings.check_interval
     iterations = jnp.where(newly_done, iteration, state.iterations)
+    history = state.history
+    if settings.record_history:
+        idx = state.iteration // settings.check_interval
+        history = {
+            "res_prim": history["res_prim"].at[idx].set(res_prim),
+            "res_dual": history["res_dual"].at[idx].set(res_dual),
+            "rho": history["rho"].at[idx].set(state.rho),
+        }
     return SolverState(
         x=x,
         z=z,
@@ -174,6 +189,7 @@ def _check_convergence(qp: QP, settings: Settings, state: SolverState, x, z, y, 
         res_dual=jnp.where(active, res_dual, state.res_dual),
         iteration=iteration,
         kkt_cache=state.kkt_cache,
+        history=history,
     )
 
 
@@ -204,15 +220,22 @@ def _maybe_refactor(qp: QP, settings: Settings, backend, state: SolverState) -> 
         x=state.x, z=state.z, y=state.y, rho=rho, rho_cand=state.rho_cand,
         status=state.status, iterations=state.iterations,
         res_prim=state.res_prim, res_dual=state.res_dual,
-        iteration=state.iteration, kkt_cache=cache,
+        iteration=state.iteration, kkt_cache=cache, history=state.history,
     )
 
 
-def solve(qp: QP, settings: Settings = Settings(), x0=None) -> Solution:
+def solve(qp: QP, settings: Settings = Settings(), x0=None, z0=None, y0=None,
+          rho0=None) -> Solution:
     """Solve a (batched) box-constrained QP. Fully jittable; `settings` static.
 
     ``qp`` may be a dense batched :class:`QP` or a single large
     :class:`~..core.sparse_problem.SparseQP` (matrix-free CG path).
+    ``x0``/``z0``/``y0`` warm-start the primal, split, and dual iterates —
+    the reference warm-starts x only (jl:14 takes vX; z, y start at zero,
+    jl:39-41). ``rho0`` (scalar or per-lane) warm-starts the penalty; for
+    MPC-style sequences carrying duals *and* the adapted rho is what saves
+    iterations — re-adapting rho from scratch can cost more than the warm
+    primal saves.
     Returns a :class:`Solution` whose leaves carry the problem's batch shape.
     """
     if settings.polish_iterations > 0 and not qp.is_dense:
@@ -222,12 +245,12 @@ def solve(qp: QP, settings: Settings = Settings(), x0=None) -> Solution:
     # are HBM-bound matvecs, so full-f32 accumulation costs almost nothing;
     # only the rare refactor (n^3) pays, which is the right trade.
     with jax.default_matmul_precision("highest"):
-        return _solve_impl(qp, settings, x0)
+        return _solve_impl(qp, settings, x0, z0, y0, rho0)
 
 
-def _solve_impl(qp: QP, settings: Settings, x0) -> Solution:
+def _solve_impl(qp: QP, settings: Settings, x0, z0=None, y0=None, rho0=None) -> Solution:
     backend = kkt_mod.get_backend(settings.kkt_backend, qp)
-    state = _init_state(qp, settings, x0, backend)
+    state = _init_state(qp, settings, x0, backend, z0, y0, rho0)
     max_chunks = settings.num_checks
 
     def cond(st: SolverState):
@@ -240,7 +263,8 @@ def _solve_impl(qp: QP, settings: Settings, x0) -> Solution:
         st = SolverState(
             x=st.x, z=st.z, y=st.y, rho=st.rho, rho_cand=st.rho_cand,
             status=st.status, iterations=st.iterations, res_prim=st.res_prim,
-            res_dual=st.res_dual, iteration=st.iteration, kkt_cache=cache)
+            res_dual=st.res_dual, iteration=st.iteration, kkt_cache=cache,
+            history=st.history)
         return _check_convergence(qp, settings, st, x, z, y, xp, zp)
 
     state = jax.lax.while_loop(cond, body, state)
@@ -260,6 +284,7 @@ def _solve_impl(qp: QP, settings: Settings, x0) -> Solution:
         res_dual=state.res_dual,
         rho=state.rho,
         objective=qp.objective(x),
+        history=state.history,
     )
     return Solution(x=x, z=state.z, y=y, info=info)
 

@@ -194,3 +194,22 @@ def test_objective_reported():
     P, q = data.P.toarray(), data.q
     obj = 0.5 * x @ P @ x + q @ x
     assert np.isclose(float(sol.info.objective), obj, rtol=1e-9, atol=1e-12)
+
+
+def test_residual_history_recorded():
+    data = qps.generate_random_qp(ProblemClass.RANDOM_QP, 20, seed=3)
+    st = qps.Settings(max_iterations=500, eps_abs=1e-8, eps_rel=1e-8, rho=0.1,
+                      adaptive_rho=True, record_history=True)
+    sol = qps.solve_jit(qps.make_qp(*data.dense(), dtype=np.float64), st)
+    h = sol.info.history
+    assert set(h) == {"res_prim", "res_dual", "rho"}
+    rp = np.asarray(h["res_prim"])
+    assert rp.shape == (st.num_checks,)
+    k = int(sol.info.iterations) // st.check_interval
+    assert np.isfinite(rp[:k]).all()
+    assert np.isinf(rp[k:]).all()          # untouched after convergence
+    # Final recorded residual matches the reported one.
+    assert np.isclose(rp[k - 1], float(sol.info.res_prim))
+    # History off by default.
+    sol2 = qps.solve_jit(qps.make_qp(*data.dense(), dtype=np.float64), TEST_SETTINGS)
+    assert sol2.info.history is None
