@@ -1,0 +1,109 @@
+"""KKT-backend and scaling comparison bench.
+
+Covers the roles of the reference's `BenchmarkSolvers.jl` (solver-vs-solver
+size sweep, :20-98), `LinearSystemSolversFun.jl` (standalone strategy cost
+models), and `LinearSystemSolversFunBenchmark.jl` (strategy bench with a
+correctness check vs a dense solve, :100-107).
+
+Usage:
+    python benchmarks/compare_kkt_backends.py [--sizes 64 128 256] [--batch 64]
+
+Emits one line per (backend, size): best solve time, solves/s, iterations,
+plus a per-backend KKT-solve correctness check against jnp.linalg.solve.
+Runs on whatever device JAX selects (TPU under the driver, CPU with
+JAX_PLATFORMS=cpu).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--sizes", type=int, nargs="+", default=[64, 128, 256])
+    p.add_argument("--batch", type=int, default=64)
+    p.add_argument("--samples", type=int, default=3)
+    p.add_argument("--eps", type=float, default=1e-5)
+    args = p.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+
+    import quadraticprogramsolver_tpu as qps
+    from quadraticprogramsolver_tpu.core.settings import KKTBackendKind
+    from quadraticprogramsolver_tpu.models import kkt
+
+    def sync(x):
+        return float(np.asarray(jax.tree.leaves(x)[0].ravel()[0]))
+
+    backends = [KKTBackendKind.CHOLESKY, KKTBackendKind.KKT_LDL, KKTBackendKind.CG]
+
+    # Correctness check of each backend's KKT solve vs a dense solve
+    # (LinearSystemSolversFunBenchmark.jl:100-107).
+    data = qps.generate_random_qp(qps.ProblemClass.RANDOM_QP, 32, seed=0)
+    qp1 = qps.make_qp(*data.dense(), dtype=np.float64)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal(qp1.n))
+    z = jnp.asarray(rng.standard_normal(qp1.m))
+    y = jnp.asarray(rng.standard_normal(qp1.m))
+    rho_val, sigma = 0.37, 1e-6
+    P, q, A = data.P.toarray(), data.q, data.A.toarray()
+    K = np.block([[P + sigma * np.eye(qp1.n), A.T],
+                  [A, -np.eye(qp1.m) / rho_val]])
+    v = np.linalg.solve(K, np.concatenate([sigma * np.asarray(x) - q,
+                                           np.asarray(z) - np.asarray(y) / rho_val]))
+    xx_ref = v[: qp1.n]
+    for kind in backends:
+        st = qps.Settings(kkt_backend=kind, cg_eps=1e-12, cg_max_iterations=2000)
+        b = kkt.get_backend(kind, qp1)
+        rho = jnp.full((), rho_val, qp1.dtype)
+        cache = b.init(qp1, rho, jnp.asarray(sigma, qp1.dtype), st)
+        xx, _, _ = b.solve(cache, qp1, x, z, y, rho, st)
+        scale = np.abs(xx_ref).max() + 1.0
+        err = np.abs(np.asarray(xx) - xx_ref).max() / scale
+        print(f"correctness {kind.value:>10}: rel|xx - dense|_inf = {err:.2e}")
+        # Without jax_enable_x64 the device solve runs in f32 (TPU-native
+        # regime); 1e-5 relative is the refined-f32 bar.
+        assert err < 1e-5, kind
+
+    print(f"\n{'backend':>10} {'n':>5} {'B':>5} {'best_ms':>9} "
+          f"{'solves/s':>10} {'p50 iters':>9} {'solved':>7}")
+    for n in args.sizes:
+        fleet = qps.generate_batch(qps.ProblemClass.RANDOM_QP, args.batch, n,
+                                   seed=1234, dtype=np.float32)
+        for kind in backends:
+            st = qps.Settings(max_iterations=4000, eps_abs=args.eps,
+                              eps_rel=args.eps, rho=0.1, adaptive_rho=True,
+                              kkt_backend=kind)
+            try:
+                sol = qps.solve_jit(fleet, st)
+                sync(sol.x)
+                times = []
+                for _ in range(args.samples):
+                    t0 = time.perf_counter()
+                    sol = qps.solve_jit(fleet, st)
+                    sync(sol.x)
+                    times.append(time.perf_counter() - t0)
+                best = min(times)
+                status = np.asarray(sol.info.status)
+                iters = np.asarray(sol.info.iterations)
+                solved = int((status >= 2).sum())
+                print(f"{kind.value:>10} {n:>5} {args.batch:>5} "
+                      f"{best*1e3:>9.1f} {solved/best:>10.0f} "
+                      f"{np.median(iters):>9.0f} {solved}/{args.batch}")
+            except Exception as e:  # pragma: no cover
+                print(f"{kind.value:>10} {n:>5}: failed ({type(e).__name__}: {e})",
+                      file=sys.stderr)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

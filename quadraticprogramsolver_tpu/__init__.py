@@ -8,8 +8,11 @@ See SURVEY.md at the repo root for the structural map of the reference.
 
 from .core.problem import QP, ProxQPProblem, make_proxqp, make_qp, pad_qp, stack_qps
 from .core.settings import KKTBackendKind, ProxQPSettings, Settings
+from .core.sparse_problem import SparseQP, make_sparse_qp
 from .core.state import SolveInfo, Solution, Status
 from .models.admm import solve, solve_jit
+from .models.proxqp import ProxQPSolution, solve as solve_proxqp
+from .models.proxqp import solve_jit as solve_proxqp_jit
 from .problems.generator import ALL_CLASSES, ProblemClass, generate_batch, generate_random_qp
 
 __version__ = "0.1.0"
@@ -17,8 +20,10 @@ __version__ = "0.1.0"
 __all__ = [
     "QP",
     "ProxQPProblem",
+    "SparseQP",
     "make_qp",
     "make_proxqp",
+    "make_sparse_qp",
     "pad_qp",
     "stack_qps",
     "Settings",
@@ -29,6 +34,9 @@ __all__ = [
     "Status",
     "solve",
     "solve_jit",
+    "solve_proxqp",
+    "solve_proxqp_jit",
+    "ProxQPSolution",
     "ProblemClass",
     "ALL_CLASSES",
     "generate_random_qp",

@@ -128,8 +128,11 @@ def _build_kkt_matrix(qp: QP, rho, sigma):
     At = jnp.swapaxes(qp.A, -1, -2)
     Pn = add_scaled_identity(sym(qp.P), sigma)
     top = jnp.concatenate([Pn, jnp.broadcast_to(At, batch + (n, m))], axis=-1)
-    neg = (-1.0 / rho)[..., None] * jnp.eye(m, dtype=dt)
-    bot = jnp.concatenate([jnp.broadcast_to(qp.A, batch + (m, n)), neg], axis=-1)
+    neg_rho_inv = jnp.asarray(-1.0 / rho, dt)
+    neg = neg_rho_inv[..., None, None] * jnp.eye(m, dtype=dt)
+    bot = jnp.concatenate(
+        [jnp.broadcast_to(qp.A, batch + (m, n)),
+         jnp.broadcast_to(neg, batch + (m, m))], axis=-1)
     return jnp.concatenate([top, bot], axis=-2)
 
 

@@ -48,6 +48,23 @@ def sym(M: jax.Array) -> jax.Array:
     return 0.5 * (M + jnp.swapaxes(M, -1, -2))
 
 
+def spsd_sqrt(A: jax.Array, rank_tol: float = 1e-10) -> jax.Array:
+    """Batched M with M'M = A for (possibly singular) symmetric PSD A.
+
+    Role of the reference's `CalcSPSDSquareRoot` (SPSDMatSquareRoot.jl:63-118),
+    which does pivoted-QR rank detection + reduced Cholesky (dense) or shifted
+    Cholesky (sparse). The TPU idiom is a batched eigendecomposition: with
+    A = V diag(w) V', M = diag(sqrt(w_clipped)) V' satisfies M'M = A, and
+    eigenvalues below rank_tol * max(w) are clipped to zero — the same
+    numerical-rank cutoff as the reference's R-diagonal test (:100-101).
+    Returns M of shape (*B, n, n) (rows beyond the rank are zero).
+    """
+    w, V = jnp.linalg.eigh(sym(A))
+    w_max = jnp.max(jnp.abs(w), axis=-1, keepdims=True)
+    w = jnp.where(w > rank_tol * w_max, w, 0.0)
+    return jnp.sqrt(w)[..., None] * jnp.swapaxes(V, -1, -2)
+
+
 def spd_inverse(M: jax.Array) -> jax.Array:
     """Batched SPD inverse via Cholesky.
 

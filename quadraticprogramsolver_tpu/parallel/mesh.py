@@ -25,6 +25,30 @@ from ..models.admm import solve
 BATCH_AXIS = "qp"
 
 
+def init_distributed(coordinator_address: str | None = None,
+                     num_processes: int | None = None,
+                     process_id: int | None = None) -> None:
+    """Multi-host initialization (one JAX process per host of a pod slice).
+
+    Thin wrapper over `jax.distributed.initialize`; with no arguments the
+    cluster environment (TPU metadata) is auto-detected. After this,
+    `jax.devices()` spans the whole slice and the fleet/consensus solvers
+    shard across hosts with the same code — collectives ride ICI within a
+    slice and DCN across hosts, per the SURVEY §5 distributed-backend plan.
+    No-ops when already initialized (safe to call from every entry point).
+    """
+    import jax
+
+    try:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id)
+    except RuntimeError as e:  # already initialized
+        if "already" not in str(e).lower():
+            raise
+
+
 def make_fleet_mesh(devices=None, axis_name: str = BATCH_AXIS) -> Mesh:
     """1-D mesh over all (or the given) devices for fleet data-parallelism."""
     devices = jax.devices() if devices is None else devices

@@ -121,3 +121,15 @@ def test_dense_backend_rejected_for_sparse():
     sqp = make_sparse_qp(data.P, data.q, data.A, data.l, data.u)
     with pytest.raises(ValueError, match="dense"):
         kkt.resolve_backend(KKTBackendKind.CHOLESKY, sqp)
+
+
+def test_ldl_backend_batched():
+    qp = qps.generate_batch(ProblemClass.RANDOM_QP, batch=4, num_elements=16,
+                            seed=1, dtype=np.float64)
+    st = qps.Settings(max_iterations=20_000, eps_abs=1e-7, eps_rel=1e-7, rho=0.1,
+                      adaptive_rho=True, kkt_backend=KKTBackendKind.KKT_LDL)
+    sol = qps.solve_jit(qp, st)
+    ref = qps.solve_jit(qp, qps.Settings(max_iterations=20_000, eps_abs=1e-7,
+                                         eps_rel=1e-7, rho=0.1, adaptive_rho=True))
+    dev = np.abs(np.asarray(sol.x) - np.asarray(ref.x)).max()
+    assert dev <= 1e-6, dev
