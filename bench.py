@@ -110,11 +110,14 @@ def main():
     log(f"device: {dev.platform} {getattr(dev, 'device_kind', '?')}")
     on_tpu = dev.platform == "tpu"
 
+    # rho=0.3 sits inside the adaptive-rho hysteresis band for this family:
+    # no mid-solve refactorization (the dominant cost) and p50 convergence in
+    # ~25 iterations (swept on-chip: 0.1 -> 1355/s, 0.3 -> 3228/s).
     settings = qps.Settings(
         max_iterations=2000,
         eps_abs=1e-4,
         eps_rel=1e-4,
-        rho=0.1,
+        rho=0.3,
         adaptive_rho=True,
         check_interval=25,
         kkt_refinement_steps=0,
