@@ -125,10 +125,11 @@ def main():
     )
 
     best = None
-    # Single fleet size: host->device transfer through the remote-TPU relay
-    # runs at ~8 MB/s, so per-size fleet upload dominates the bench budget;
-    # throughput is flat in B beyond ~512 (per-lane work dominates).
-    for batch in (512,):
+    # Single fleet size to bound compile count: every dispatch through the
+    # remote-TPU relay costs ~27 ms latency, so large fleets amortize it;
+    # B=2048 measured best (512 -> 4227/s, 1024 -> 4803/s, 2048 -> 5019/s)
+    # and leaves HBM headroom for the AtA temporary.
+    for batch in (2048,):
         try:
             t0 = time.perf_counter()
             qp = device_random_qp_fleet(batch, N, M, SEED)

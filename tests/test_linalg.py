@@ -1,0 +1,48 @@
+"""Batched linear-algebra primitive tests (ops/linalg.py)."""
+
+import numpy as np
+import pytest
+
+from quadraticprogramsolver_tpu.ops import linalg
+
+
+def _spd(batch, n, seed=0, cond=None):
+    rng = np.random.default_rng(seed)
+    W = rng.standard_normal(batch + (n, n))
+    A = np.einsum("...ij,...kj->...ik", W, W) + n * 0.01 * np.eye(n)
+    return A
+
+
+@pytest.mark.parametrize("n", [16, 64, 96, 128, 256])
+def test_spd_inverse_blocked_matches_numpy(n):
+    A = _spd((3,), n)
+    inv = np.asarray(linalg.spd_inverse(A))
+    ref = np.linalg.inv(A)
+    scale = np.abs(ref).max()
+    assert np.abs(inv - ref).max() / scale <= 1e-9, n
+    # Symmetric output.
+    assert np.abs(inv - np.swapaxes(inv, -1, -2)).max() <= 1e-12
+
+
+def test_spd_inverse_odd_size_falls_back():
+    A = _spd((), 67)
+    inv = np.asarray(linalg.spd_inverse(A))
+    assert np.abs(inv @ A - np.eye(67)).max() <= 1e-7
+
+
+def test_spd_inverse_ill_conditioned():
+    # cond ~ 1e6 like the sigma-regularized normal matrix.
+    rng = np.random.default_rng(1)
+    n = 128
+    Q, _ = np.linalg.qr(rng.standard_normal((n, n)))
+    w = np.logspace(-6, 0, n)
+    A = (Q * w) @ Q.T
+    inv = np.asarray(linalg.spd_inverse(A))
+    err = np.abs(inv @ A - np.eye(n)).max()
+    assert err <= 1e-6, err
+
+
+def test_inf_norm_empty():
+    import jax.numpy as jnp
+
+    assert float(linalg.inf_norm(jnp.zeros((3, 0)))[0]) == 0.0
