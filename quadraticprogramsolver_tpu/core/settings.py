@@ -83,6 +83,13 @@ class Settings:
     #: Record per-check residuals/rho into SolveInfo.history (device-side
     #: trace buffers of shape (num_checks, *B)).
     record_history: bool = False
+    #: Detect primal/dual infeasibility from iterate-difference certificates
+    #: (OSQP paper §3.4; not in the reference — README.md To-Do). Checked at
+    #: the same cadence as convergence; costs ~2 extra matvec sweeps/check.
+    check_infeasibility: bool = True
+    #: Certificate tolerances (OSQP defaults).
+    eps_prim_inf: float = 1e-4
+    eps_dual_inf: float = 1e-4
 
     def __post_init__(self):
         if self.max_iterations < 1:

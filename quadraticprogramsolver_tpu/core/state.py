@@ -20,16 +20,21 @@ import jax.numpy as jnp
 class Status(enum.IntEnum):
     """Per-instance convergence flag.
 
-    Values match the reference enum `ConvergenceFlag`
+    Values 1-3 match the reference enum `ConvergenceFlag`
     (`SolveQuadraticProgram.jl:12`, `SolveQuadraticProgram.m:114-117`):
     1 = iteration budget exhausted, 2 = ADMM fixed point, 3 = primal+dual.
-    RUNNING (0) is internal to the batched loop.
+    RUNNING (0) is internal to the batched loop. 4/5 are certificate-based
+    infeasibility detections (OSQP paper §3.4) — absent in the reference
+    (its README To-Do) but load-bearing here because the reference's own
+    generator emits infeasible instances.
     """
 
     RUNNING = 0
     MAX_ITERATIONS = 1
     SOLVED_ADMM = 2
     SOLVED = 3
+    PRIMAL_INFEASIBLE = 4
+    DUAL_INFEASIBLE = 5
 
 
 def _pytree_dataclass(cls):
@@ -87,7 +92,11 @@ class SolveInfo:
 
     @property
     def solved(self) -> jax.Array:
-        return self.status >= Status.SOLVED_ADMM
+        return (self.status == Status.SOLVED_ADMM) | (self.status == Status.SOLVED)
+
+    @property
+    def infeasible(self) -> jax.Array:
+        return self.status >= Status.PRIMAL_INFEASIBLE
 
 
 @_pytree_dataclass

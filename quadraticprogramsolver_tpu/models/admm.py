@@ -128,6 +128,55 @@ def _run_chunk(qp: QP, settings: Settings, backend, state: SolverState):
     return jax.lax.fori_loop(0, settings.check_interval, step, init)
 
 
+def _infeasibility_certificates(qp: QP, settings: Settings, dx, dy):
+    """OSQP §3.4 iterate-difference infeasibility certificates.
+
+    Primal infeasible: A'dy ~ 0 and u'(dy)+ + l'(dy)- < 0 (Farkas direction
+    in the duals). Dual infeasible (primal unbounded): P dx ~ 0, q'dx < 0,
+    and A dx compatible with the finite bounds. Infinite bounds require the
+    corresponding certificate component to vanish. dx/dy here are the
+    per-chunk iterate differences (any nonzero multiple certifies).
+    """
+    dt = qp.dtype
+    eps_p = jnp.asarray(settings.eps_prim_inf, dt)
+    eps_d = jnp.asarray(settings.eps_dual_inf, dt)
+
+    # --- primal infeasibility from dy ---
+    ndy = inf_norm(dy)
+    pos = jnp.maximum(dy, 0.0)
+    neg = jnp.minimum(dy, 0.0)
+    tol = (eps_p * ndy)[..., None]
+    term_u = jnp.where(
+        jnp.isfinite(qp.u), qp.u * pos, jnp.where(pos > tol, jnp.inf, 0.0))
+    term_l = jnp.where(
+        jnp.isfinite(qp.l), qp.l * neg, jnp.where(neg < -tol, jnp.inf, 0.0))
+    support = jnp.sum(term_u + term_l, axis=-1)
+    prim_inf = (
+        (ndy > 0)
+        & (inf_norm(qp.matvec_At(dy)) <= eps_p * ndy)
+        & (support <= -eps_p * ndy)
+    )
+
+    # --- dual infeasibility from dx ---
+    ndx = inf_norm(dx)
+    Adx = qp.matvec_A(dx)
+    tol_d = (eps_d * ndx)[..., None]
+    fin_l = jnp.isfinite(qp.l)
+    fin_u = jnp.isfinite(qp.u)
+    ok_rows = jnp.where(
+        fin_l & fin_u, jnp.abs(Adx) <= tol_d,
+        jnp.where(fin_l, Adx >= -tol_d,            # u = +inf
+                  jnp.where(fin_u, Adx <= tol_d,   # l = -inf
+                            True)))
+    dual_inf = (
+        (ndx > 0)
+        & (inf_norm(qp.matvec_P(dx)) <= eps_d * ndx)
+        & (jnp.sum(qp.q * dx, axis=-1) <= -eps_d * ndx)
+        & jnp.all(ok_rows, axis=-1)
+    )
+    return prim_inf, dual_inf
+
+
 def _check_convergence(qp: QP, settings: Settings, state: SolverState, x, z, y, xp, zp):
     """Residuals, adaptive-rho candidate, and termination flags.
 
@@ -166,6 +215,19 @@ def _check_convergence(qp: QP, settings: Settings, state: SolverState, x, z, y, 
     status = state.status
     status = jnp.where(active & solved, Status.SOLVED, status)
     status = jnp.where(active & admm_fp, Status.SOLVED_ADMM, status)  # jl:105-107 precedence
+    if settings.check_infeasibility:
+        # Per-chunk iterate differences serve as certificate candidates. A
+        # certificate outranks the x/z fixed-point flag: on infeasible
+        # problems x and z stall exactly while y diverges, which the
+        # reference's flag-2 test misreads as convergence. True primal+dual
+        # convergence (SOLVED) still wins — residuals cannot pass on an
+        # infeasible problem.
+        prim_inf, dual_inf = _infeasibility_certificates(
+            qp, settings, x - state.x, y - state.y)
+        overridable = active & (status != Status.SOLVED)
+        status = jnp.where(overridable & prim_inf, Status.PRIMAL_INFEASIBLE, status)
+        status = jnp.where(overridable & dual_inf & ~prim_inf,
+                           Status.DUAL_INFEASIBLE, status)
     newly_done = active & (status != Status.RUNNING)
     iteration = state.iteration + settings.check_interval
     iterations = jnp.where(newly_done, iteration, state.iterations)
