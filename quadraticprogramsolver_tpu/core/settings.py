@@ -90,6 +90,11 @@ class Settings:
     #: Certificate tolerances (OSQP defaults).
     eps_prim_inf: float = 1e-4
     eps_dual_inf: float = 1e-4
+    #: Modified-Ruiz equilibration sweeps before solving (OSQP §5.1; the
+    #: reference's unimplemented To-Do #2). 0 disables. Termination runs in
+    #: the scaled space (the reference-faithful criteria applied to the
+    #: scaled problem); reported residuals/objective are unscaled.
+    scaling_iters: int = 0
 
     def __post_init__(self):
         if self.max_iterations < 1:

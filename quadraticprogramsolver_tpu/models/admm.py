@@ -311,6 +311,28 @@ def solve(qp: QP, settings: Settings = Settings(), x0=None, z0=None, y0=None,
 
 
 def _solve_impl(qp: QP, settings: Settings, x0, z0=None, y0=None, rho0=None) -> Solution:
+    if settings.scaling_iters > 0:
+        if not qp.is_dense:
+            raise ValueError("scaling_iters requires a dense QP")
+        from .scaling import equilibrate, scale_iterates, unscale_iterates
+
+        qp_s, scal = equilibrate(qp, settings.scaling_iters)
+        xs, zs, ys = scale_iterates(scal, x0, z0, y0)
+        sol = _solve_core(qp_s, settings, xs, zs, ys, rho0)
+        x, z, y = unscale_iterates(scal, sol.x, sol.z, sol.y)
+        # Report unscaled residuals/objective (termination ran scaled).
+        Ax = qp.matvec_A(x)
+        res_prim = inf_norm(Ax - z)
+        res_dual = inf_norm(qp.matvec_P(x) + qp.q + qp.matvec_At(y))
+        info = SolveInfo(
+            status=sol.info.status, iterations=sol.info.iterations,
+            res_prim=res_prim, res_dual=res_dual, rho=sol.info.rho,
+            objective=qp.objective(x), history=sol.info.history)
+        return Solution(x=x, z=z, y=y, info=info)
+    return _solve_core(qp, settings, x0, z0, y0, rho0)
+
+
+def _solve_core(qp: QP, settings: Settings, x0, z0=None, y0=None, rho0=None) -> Solution:
     backend = kkt_mod.get_backend(settings.kkt_backend, qp)
     state = _init_state(qp, settings, x0, backend, z0, y0, rho0)
     max_chunks = settings.num_checks
