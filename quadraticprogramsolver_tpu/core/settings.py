@@ -95,6 +95,11 @@ class Settings:
     #: the scaled space (the reference-faithful criteria applied to the
     #: scaled problem); reported residuals/objective are unscaled.
     scaling_iters: int = 0
+    #: Matmul accumulation for f32 solves on TPU: "highest" = full f32
+    #: (6 bf16 MXU passes), "high" = bf16x3 (~f32 accuracy for
+    #: well-conditioned products, ~2x faster on the factor path). Irrelevant
+    #: on CPU/f64.
+    matmul_precision: str = "highest"
 
     def __post_init__(self):
         if self.max_iterations < 1:

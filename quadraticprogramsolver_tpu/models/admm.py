@@ -302,11 +302,12 @@ def solve(qp: QP, settings: Settings = Settings(), x0=None, z0=None, y0=None,
     """
     if settings.polish_iterations > 0 and not qp.is_dense:
         raise ValueError("polish requires a dense QP")
-    # TPU: f32 matmuls default to bf16 MXU passes, which floors the KKT-solve
-    # accuracy at ~1e-2 relative and stalls convergence. The per-iteration ops
-    # are HBM-bound matvecs, so full-f32 accumulation costs almost nothing;
-    # only the rare refactor (n^3) pays, which is the right trade.
-    with jax.default_matmul_precision("highest"):
+    # TPU: f32 matmuls default to a single bf16 MXU pass, which floors the
+    # KKT-solve accuracy at ~1e-2 relative and stalls convergence. The
+    # per-iteration ops are HBM-bound matvecs, so multi-pass accumulation
+    # costs almost nothing there; the factor (n^3) pays, which
+    # Settings.matmul_precision lets callers trade ("high" = bf16x3).
+    with jax.default_matmul_precision(settings.matmul_precision):
         return _solve_impl(qp, settings, x0, z0, y0, rho0)
 
 

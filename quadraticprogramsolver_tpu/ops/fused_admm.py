@@ -69,13 +69,19 @@ def _chunk_kernel(rho_all_ref, active_all_ref,      # scalar-prefetch (B,) SMEM
         def body(_, carry):
             x, z, y, _, _ = carry
             t = rho * z - y                                        # (1, m)
+            # Precision pinned: the ambient default_matmul_precision may be
+            # HIGH (bf16x3), which Mosaic's dot lowering does not implement.
+            hi = jax.lax.Precision.HIGHEST
             At_t = jax.lax.dot_general(
-                t, A, (((1,), (0,)), ((), ())), preferred_element_type=f32)
+                t, A, (((1,), (0,)), ((), ())), preferred_element_type=f32,
+                precision=hi)
             rhs = sg * x - q + At_t                                # (1, n)
             xx = jax.lax.dot_general(
-                rhs, Minv, (((1,), (0,)), ((), ())), preferred_element_type=f32)
+                rhs, Minv, (((1,), (0,)), ((), ())), preferred_element_type=f32,
+                precision=hi)
             zz = jax.lax.dot_general(
-                xx, A, (((1,), (1,)), ((), ())), preferred_element_type=f32)
+                xx, A, (((1,), (1,)), ((), ())), preferred_element_type=f32,
+                precision=hi)
             xp, zp = x, z
             x = al * xx + al1 * xp
             z = jnp.clip(al * zz + al1 * zp + rho_inv * y, l, u)
