@@ -45,6 +45,9 @@ class BenchCase:
     num_elements: int
     num_constraints: int = 0
     batch: int = 64
+    #: Optional (n_pad, m_pad): zero-pad instances to a shared static shape
+    #: so a whole sweep reuses one compiled executable (pad_qp).
+    pad_to: tuple | None = None
 
 
 @dataclasses.dataclass
@@ -66,15 +69,22 @@ def _device_label() -> str:
     return f"{d.platform}:{getattr(d, 'device_kind', 'unknown')}"
 
 
+def _hard_sync(sol) -> None:
+    """Pull one scalar to host. Through remote-TPU relays,
+    block_until_ready can return before execution finishes; a host
+    transfer cannot."""
+    float(np.asarray(sol.x.ravel()[0]))
+
+
 def time_solve(qp, settings: Settings, samples: int = 3):
     """Warmup-compile then time `samples` repeat solves; returns (times, sol)."""
     sol = solve_jit(qp, settings)
-    sol.x.block_until_ready()
+    _hard_sync(sol)
     times = []
     for _ in range(samples):
         t0 = time.perf_counter()
         sol = solve_jit(qp, settings)
-        sol.x.block_until_ready()
+        _hard_sync(sol)
         times.append(time.perf_counter() - t0)
     return times, sol
 
@@ -83,6 +93,10 @@ def run_case(case: BenchCase, settings: Settings, seed: int = 1234,
              samples: int = 3, dtype=np.float32) -> BenchResult:
     qp = generate_batch(case.problem_class, case.batch, case.num_elements,
                         case.num_constraints, seed=seed, dtype=dtype)
+    if case.pad_to is not None:
+        from ..core.problem import pad_qp
+
+        qp = pad_qp(qp, *case.pad_to)
     times, sol = time_solve(qp, settings, samples)
     status = np.asarray(sol.info.status)
     iters = np.asarray(sol.info.iterations)

@@ -209,8 +209,16 @@ def _check_convergence(qp: QP, settings: Settings, state: SolverState, x, z, y, 
     eps_prim = settings.eps_abs + settings.eps_rel * max_prim
     eps_dual = settings.eps_abs + settings.eps_rel * max_dual
     solved = (res_prim < eps_prim) & (res_dual < eps_dual)
+    # Fixed-point threshold with a dtype-aware relative floor: the reference's
+    # absolute eps_admm (min(eps)*1e-2, jl:34) can sit below f32 iterate
+    # noise, leaving lanes jittering forever (seen on the huber family);
+    # 8 ulps of the iterate scale is invisible in f64 and the honest floor
+    # in f32.
+    ulp = jnp.asarray(8 * jnp.finfo(dt).eps, dt)
     eps_admm = jnp.asarray(settings.eps_admm, dt)
-    admm_fp = (inf_norm(x - xp) <= eps_admm) & (inf_norm(z - zp) <= eps_admm)
+    eps_x = eps_admm + ulp * jnp.maximum(inf_norm(x), 1.0)
+    eps_z = eps_admm + ulp * jnp.maximum(inf_norm(z), 1.0)
+    admm_fp = (inf_norm(x - xp) <= eps_x) & (inf_norm(z - zp) <= eps_z)
 
     status = state.status
     status = jnp.where(active & solved, Status.SOLVED, status)
