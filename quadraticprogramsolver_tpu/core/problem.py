@@ -94,6 +94,10 @@ class QP:
     def diag_AtA(self) -> jax.Array:
         return jnp.sum(self.A * self.A, axis=-2)
 
+    def diag_AtWA(self, w: jax.Array) -> jax.Array:
+        """diag(A' diag(w) A) for per-row penalty weights w (*B, m)."""
+        return jnp.einsum("...ki,...k->...i", self.A * self.A, w)
+
     @property
     def is_dense(self) -> bool:
         return True

@@ -100,6 +100,10 @@ class Settings:
     #: well-conditioned products, ~2x faster on the factor path). Irrelevant
     #: on CPU/f64.
     matmul_precision: str = "highest"
+    #: Per-constraint penalty weighting: equality rows (l == u) get
+    #: rho * rho_eq_scale (OSQP's vector-rho scheme — the reference's To-Do
+    #: #1 "paramRho as a matrix"). 1.0 reproduces the reference's scalar rho.
+    rho_eq_scale: float = 1.0
 
     def __post_init__(self):
         if self.max_iterations < 1:

@@ -83,6 +83,12 @@ class SparseQP:
     def diag_AtA(self) -> jax.Array:
         return self.dAtA
 
+    def diag_AtWA(self, w: jax.Array) -> jax.Array:
+        """diag(A' diag(w) A) = (At elementwise-squared) @ w."""
+        At2 = jsparse.BCOO((self.At.data ** 2, self.At.indices),
+                           shape=self.At.shape)
+        return At2 @ w
+
     def objective(self, x: jax.Array) -> jax.Array:
         return 0.5 * jnp.sum(x * self.matvec_P(x), axis=-1) + jnp.sum(self.q * x, axis=-1)
 

@@ -92,13 +92,16 @@ def _fused_chunk_ok(qp: QP, settings: Settings) -> bool:
 
 def _run_chunk(qp: QP, settings: Settings, backend, state: SolverState):
     """check_interval masked ADMM iterations; returns new (x,z,y,xp,zp,cache)."""
+    rho_row = jnp.broadcast_to(
+        kkt_mod.rho_rows(qp, state.rho, settings),
+        qp.batch_shape + (qp.m,))
     if _fused_chunk_ok(qp, settings):
         from ..ops.fused_admm import fused_admm_chunk
 
         active = state.status == Status.RUNNING
         x, z, y, xp, zp = fused_admm_chunk(
             state.kkt_cache["M_inv"], qp.A, qp.q, qp.l, qp.u,
-            state.x, state.z, state.y, state.rho, active,
+            state.x, state.z, state.y, rho_row, active,
             K=settings.check_interval, alpha=settings.alpha,
             sigma=settings.sigma,
             interpret=jax.default_backend() != "tpu")
@@ -109,15 +112,14 @@ def _run_chunk(qp: QP, settings: Settings, backend, state: SolverState):
     alpha1 = jnp.asarray(1.0 - settings.alpha, dt)
     active = (state.status == Status.RUNNING)[..., None]
     rho = state.rho
-    rho_col = rho[..., None]
 
     def step(_, carry):
         x, z, y, _, _, cache = carry
         xx, zz, cache = backend.solve(cache, qp, x, z, y, rho, settings)
         xp, zp = x, z
         x_new = alpha * xx + alpha1 * xp
-        z_new = jnp.clip(alpha * zz + alpha1 * zp + y / rho_col, qp.l, qp.u)
-        y_new = y + rho_col * (alpha * zz + alpha1 * zp - z_new)
+        z_new = jnp.clip(alpha * zz + alpha1 * zp + y / rho_row, qp.l, qp.u)
+        y_new = y + rho_row * (alpha * zz + alpha1 * zp - z_new)
         # Converged lanes freeze (replaces the reference's early break, jl:66-68).
         x = jnp.where(active, x_new, xp)
         z = jnp.where(active, z_new, zp)
@@ -230,8 +232,20 @@ def _check_convergence(qp: QP, settings: Settings, state: SolverState, x, z, y, 
         # reference's flag-2 test misreads as convergence. True primal+dual
         # convergence (SOLVED) still wins — residuals cannot pass on an
         # infeasible problem.
-        prim_inf, dual_inf = _infeasibility_certificates(
-            qp, settings, x - state.x, y - state.y)
+        dx = x - state.x
+        dy = y - state.y
+        prim_inf, dual_inf = _infeasibility_certificates(qp, settings, dx, dy)
+        # Anti-false-positive gates: near convergence the chunk deltas are
+        # numerical noise, and on problems with near-degenerate rows noise
+        # can satisfy the Farkas conditions. Require (a) the lane to be far
+        # from its convergence threshold and (b) deltas above the iterate
+        # noise floor. Genuinely infeasible/unbounded problems keep large
+        # residuals and structured deltas, so the gates cost nothing there.
+        noise = 16 * jnp.finfo(dt).eps
+        prim_inf &= (res_prim > 10 * eps_prim) & (
+            inf_norm(dy) > noise * jnp.maximum(inf_norm(y), 1.0))
+        dual_inf &= (res_dual > 10 * eps_dual) & (
+            inf_norm(dx) > noise * jnp.maximum(inf_norm(x), 1.0))
         overridable = active & (status != Status.SOLVED)
         status = jnp.where(overridable & prim_inf, Status.PRIMAL_INFEASIBLE, status)
         status = jnp.where(overridable & dual_inf & ~prim_inf,

@@ -62,31 +62,53 @@ def resolve_backend(kind: KKTBackendKind, qp) -> KKTBackendKind:
     return KKTBackendKind.CG
 
 
-def _normal_rhs(qp, x, z, y, rho, sigma):
-    """sigma*x - q + A'(rho*z - y) — the reduced-KKT right-hand side."""
-    return sigma * x - qp.q + qp.matvec_At(rho[..., None] * z - y)
+def row_weights(qp, settings: Settings):
+    """Per-constraint penalty weights w: rho_i = rho * w_i.
+
+    Equality rows (finite l == u) get settings.rho_eq_scale (OSQP's
+    vector-rho policy; 1.0 = reference scalar-rho semantics). Static data —
+    derived from the bounds only."""
+    if settings.rho_eq_scale == 1.0:
+        return None
+    tol = 1e-9 * jnp.maximum(1.0, jnp.abs(qp.u))
+    is_eq = jnp.isfinite(qp.l) & jnp.isfinite(qp.u) & (jnp.abs(qp.u - qp.l) <= tol)
+    return jnp.where(is_eq, jnp.asarray(settings.rho_eq_scale, qp.dtype), 1.0)
 
 
-def _apply_normal(qp, rho, sigma, v):
-    """Matrix-free M @ v = P v + sigma v + rho A'(A v).
+def rho_rows(qp, rho, settings: Settings):
+    """(rho * w) as a (*B, m) vector (w=1 when rho_eq_scale is 1)."""
+    w = row_weights(qp, settings)
+    r = rho[..., None]
+    return r if w is None else r * w
+
+
+def _normal_rhs(qp, x, z, y, rho_row, sigma):
+    """sigma*x - q + A'(rho_row*z - y) — the reduced-KKT right-hand side."""
+    return sigma * x - qp.q + qp.matvec_At(rho_row * z - y)
+
+
+def _apply_normal(qp, rho_row, sigma, v):
+    """Matrix-free M @ v = P v + sigma v + A'(rho_row * (A v)).
 
     Same operator the reference's matrix-free backends wrap
-    (LinearSystemSolvers.jl:152-157)."""
-    return qp.matvec_P(v) + sigma * v + rho[..., None] * qp.matvec_At(qp.matvec_A(v))
+    (LinearSystemSolvers.jl:152-157), generalized to per-row penalties."""
+    return qp.matvec_P(v) + sigma * v + qp.matvec_At(rho_row * qp.matvec_A(v))
 
 
 # --------------------------------------------------------------------------
 # Dense Cholesky backend (direct path)
 # --------------------------------------------------------------------------
 
-def _build_normal_matrix(qp: QP, rho, sigma):
-    AtA = jnp.einsum("...ki,...kj->...ij", qp.A, qp.A)
-    M = qp.P + rho[..., None, None] * AtA
-    return add_scaled_identity(sym(M), sigma)
+def _build_normal_matrix(qp: QP, rho_row, sigma):
+    """P + sigma*I + A' diag(rho_row) A (rho_row broadcasts a scalar rho)."""
+    AtWA = jnp.einsum("...ki,...k,...kj->...ij", qp.A, rho_row, qp.A)
+    return add_scaled_identity(sym(qp.P + AtWA), sigma)
 
 
 def cholesky_init(qp: QP, rho, sigma, settings: Settings):
-    return {"M_inv": spd_inverse(_build_normal_matrix(qp, rho, sigma))}
+    rho_row = jnp.broadcast_to(rho_rows(qp, rho, settings),
+                               qp.batch_shape + (qp.m,))
+    return {"M_inv": spd_inverse(_build_normal_matrix(qp, rho_row, sigma))}
 
 
 def cholesky_refactor(cache, qp: QP, rho, sigma, settings: Settings):
@@ -95,11 +117,12 @@ def cholesky_refactor(cache, qp: QP, rho, sigma, settings: Settings):
 
 def cholesky_solve(cache, qp: QP, x, z, y, rho, settings: Settings):
     sigma = jnp.asarray(settings.sigma, qp.dtype)
-    b = _normal_rhs(qp, x, z, y, rho, sigma)
+    rho_row = rho_rows(qp, rho, settings)
+    b = _normal_rhs(qp, x, z, y, rho_row, sigma)
     M_inv = cache["M_inv"]
     xx = matvec(M_inv, b)
     for _ in range(settings.kkt_refinement_steps):
-        r = b - _apply_normal(qp, rho, sigma, xx)
+        r = b - _apply_normal(qp, rho_row, sigma, xx)
         xx = xx + matvec(M_inv, r)
     zz = qp.matvec_A(xx)
     return xx, zz, cache
@@ -121,15 +144,14 @@ def cholesky_solve(cache, qp: QP, x, z, y, rho, settings: Settings):
 # the normal equations' squared conditioning bites.
 
 
-def _build_kkt_matrix(qp: QP, rho, sigma):
+def _build_kkt_matrix(qp: QP, rho_row, sigma):
     n, m = qp.n, qp.m
     dt = qp.dtype
     batch = qp.batch_shape
     At = jnp.swapaxes(qp.A, -1, -2)
     Pn = add_scaled_identity(sym(qp.P), sigma)
     top = jnp.concatenate([Pn, jnp.broadcast_to(At, batch + (n, m))], axis=-1)
-    neg_rho_inv = jnp.asarray(-1.0 / rho, dt)
-    neg = neg_rho_inv[..., None, None] * jnp.eye(m, dtype=dt)
+    neg = (-1.0 / rho_row)[..., None] * jnp.eye(m, dtype=dt)
     bot = jnp.concatenate(
         [jnp.broadcast_to(qp.A, batch + (m, n)),
          jnp.broadcast_to(neg, batch + (m, m))], axis=-1)
@@ -156,17 +178,19 @@ def _ldl_factor(K):
     return L, d
 
 
-def _ldl_apply_kkt(qp: QP, rho, sigma, v):
+def _ldl_apply_kkt(qp: QP, rho_row, sigma, v):
     """K @ v for the refinement residual, matrix-free."""
     n = qp.n
     v1, v2 = v[..., :n], v[..., n:]
     top = qp.matvec_P(v1) + sigma * v1 + qp.matvec_At(v2)
-    bot = qp.matvec_A(v1) - v2 / rho[..., None]
+    bot = qp.matvec_A(v1) - v2 / rho_row
     return jnp.concatenate([top, bot], axis=-1)
 
 
 def kkt_ldl_init(qp: QP, rho, sigma, settings: Settings):
-    L, d = _ldl_factor(_build_kkt_matrix(qp, rho, sigma))
+    rho_row = jnp.broadcast_to(rho_rows(qp, rho, settings),
+                               qp.batch_shape + (qp.m,))
+    L, d = _ldl_factor(_build_kkt_matrix(qp, rho_row, sigma))
     return {"L": L, "d": d}
 
 
@@ -187,16 +211,16 @@ def _ldl_solve_vec(cache, b):
 
 def kkt_ldl_solve(cache, qp: QP, x, z, y, rho, settings: Settings):
     """Direct-path solve exactly as the reference (jl:205-210): solve the
-    full KKT, then zz = z + (v2 - y)/rho."""
+    full KKT, then zz = z + (v2 - y)/rho (per-row rho generalization)."""
     dt = qp.dtype
     sigma = jnp.asarray(settings.sigma, dt)
-    rho_col = rho[..., None]
-    rhs = jnp.concatenate([sigma * x - qp.q, z - y / rho_col], axis=-1)
+    rho_row = rho_rows(qp, rho, settings)
+    rhs = jnp.concatenate([sigma * x - qp.q, z - y / rho_row], axis=-1)
     v = _ldl_solve_vec(cache, rhs)
     for _ in range(settings.kkt_refinement_steps):
-        v = v + _ldl_solve_vec(cache, rhs - _ldl_apply_kkt(qp, rho, sigma, v))
+        v = v + _ldl_solve_vec(cache, rhs - _ldl_apply_kkt(qp, rho_row, sigma, v))
     xx = v[..., : qp.n]
-    zz = z + (v[..., qp.n:] - y) / rho_col
+    zz = z + (v[..., qp.n:] - y) / rho_row
     return xx, zz, cache
 
 
@@ -204,15 +228,19 @@ def kkt_ldl_solve(cache, qp: QP, x, z, y, rho, settings: Settings):
 # Matrix-free PCG backend (iterative path)
 # --------------------------------------------------------------------------
 
-def _jacobi_diag_inv(qp, rho, sigma):
-    d = qp.diag_P() + sigma + rho[..., None] * qp.diag_AtA()
+def _jacobi_diag_inv(qp, rho, sigma, settings: Settings):
+    w = row_weights(qp, settings)
+    if w is None:
+        d = qp.diag_P() + sigma + rho[..., None] * qp.diag_AtA()
+    else:
+        d = qp.diag_P() + sigma + rho[..., None] * qp.diag_AtWA(w)
     return jnp.where(d > 0, 1.0 / d, 1.0)
 
 
 def cg_init(qp, rho, sigma, settings: Settings):
     batch = qp.batch_shape
     return {
-        "diag_inv": _jacobi_diag_inv(qp, rho, sigma),
+        "diag_inv": _jacobi_diag_inv(qp, rho, sigma, settings),
         # Warm start from the previous iteration's solution — the reference's
         # CG backends reuse vXX across iterations the same way
         # (LinearSystemSolvers.jl:135, cg! mutates the previous iterate).
@@ -221,14 +249,16 @@ def cg_init(qp, rho, sigma, settings: Settings):
 
 
 def cg_refactor(cache, qp, rho, sigma, settings: Settings):
-    return {"diag_inv": _jacobi_diag_inv(qp, rho, sigma), "xx": cache["xx"]}
+    return {"diag_inv": _jacobi_diag_inv(qp, rho, sigma, settings),
+            "xx": cache["xx"]}
 
 
 def cg_solve(cache, qp, x, z, y, rho, settings: Settings):
     sigma = jnp.asarray(settings.sigma, qp.dtype)
-    b = _normal_rhs(qp, x, z, y, rho, sigma)
+    rho_row = rho_rows(qp, rho, settings)
+    b = _normal_rhs(qp, x, z, y, rho_row, sigma)
     xx = _pcg(
-        lambda v: _apply_normal(qp, rho, sigma, v),
+        lambda v: _apply_normal(qp, rho_row, sigma, v),
         b,
         cache["xx"],
         cache["diag_inv"],

@@ -37,13 +37,13 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _chunk_kernel(rho_all_ref, active_all_ref,      # scalar-prefetch (B,) SMEM
-                  Minv_ref, A_ref, q_ref, l_ref, u_ref, x_ref, z_ref, y_ref,
+def _chunk_kernel(active_all_ref,                   # scalar-prefetch (B,) SMEM
+                  Minv_ref, A_ref, q_ref, l_ref, u_ref, rho_ref,
+                  x_ref, z_ref, y_ref,
                   xo_ref, zo_ref, yo_ref, xpo_ref, zpo_ref,
                   *, K: int, alpha: float, sigma: float):
     f32 = jnp.float32
     b = pl.program_id(0)
-    rho = rho_all_ref[b]
     active = active_all_ref[b] != 0
     al = jnp.asarray(alpha, f32)
     al1 = jnp.asarray(1.0 - alpha, f32)
@@ -64,6 +64,7 @@ def _chunk_kernel(rho_all_ref, active_all_ref,      # scalar-prefetch (B,) SMEM
         q = q_ref[0]          # vector refs are (1, 1, len); [0] -> (1, len)
         l = l_ref[0]
         u = u_ref[0]
+        rho = rho_ref[0]      # (1, m) per-constraint penalties
         rho_inv = 1.0 / rho
 
         def body(_, carry):
@@ -101,14 +102,14 @@ def _chunk_kernel(rho_all_ref, active_all_ref,      # scalar-prefetch (B,) SMEM
 @functools.partial(
     jax.jit,
     static_argnames=("K", "alpha", "sigma", "interpret"))
-def fused_admm_chunk(Minv, A, q, l, u, x, z, y, rho, active,
+def fused_admm_chunk(Minv, A, q, l, u, x, z, y, rho_row, active,
                      *, K: int, alpha: float, sigma: float,
                      interpret: bool = False):
     """Run K fused ADMM iterations for every active lane.
 
     Args:
-      Minv: (B, n, n) cached inverse of P + sigma*I + rho*A'A (f32)
-      A: (B, m, n); q,x: (B, n); l,u,z,y: (B, m); rho: (B,); active: (B,) bool
+      Minv: (B, n, n) cached inverse of P + sigma*I + A'diag(rho_row)A (f32)
+      A: (B, m, n); q,x: (B, n); l,u,z,y,rho_row: (B, m); active: (B,) bool
     Returns:
       (x, z, y, x_prev, z_prev) after K iterations (prev = start of the last
       iteration, for the ADMM fixed-point test).
@@ -133,11 +134,11 @@ def fused_admm_chunk(Minv, A, q, l, u, x, z, y, rho, active,
     out = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=2,  # rho and active, read per program_id
+            num_scalar_prefetch=1,  # active mask, read per program_id
             grid=grid,
             in_specs=[
                 mat(n, n), mat(m, n),
-                vec(n), vec(m), vec(m), vec(n), vec(m), vec(m),
+                vec(n), vec(m), vec(m), vec(m), vec(n), vec(m), vec(m),
             ],
             out_specs=[vec(n), vec(m), vec(m), vec(n), vec(m)],
         ),
@@ -150,10 +151,10 @@ def fused_admm_chunk(Minv, A, q, l, u, x, z, y, rho, active,
         ],
         interpret=interpret,
     )(
-        rho.astype(f32), active.astype(jnp.int32),
+        active.astype(jnp.int32),
         Minv.astype(f32), A.astype(f32),
         q.astype(f32)[:, None, :], l.astype(f32)[:, None, :],
-        u.astype(f32)[:, None, :],
+        u.astype(f32)[:, None, :], rho_row.astype(f32)[:, None, :],
         x.astype(f32)[:, None, :], z.astype(f32)[:, None, :],
         y.astype(f32)[:, None, :],
     )

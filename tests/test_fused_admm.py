@@ -35,8 +35,9 @@ def test_fused_chunk_matches_xla_chunk():
     y = jnp.asarray(rng.standard_normal((B, M)), jnp.float32)
     active = jnp.array([True, True, False, True])
 
+    rho_row = jnp.broadcast_to(rho[:, None], (B, M))
     fx, fz, fy, fxp, fzp = fused_admm_chunk(
-        cache["M_inv"], qp.A, qp.q, qp.l, qp.u, x, z, y, rho, active,
+        cache["M_inv"], qp.A, qp.q, qp.l, qp.u, x, z, y, rho_row, active,
         K=st.check_interval, alpha=st.alpha, sigma=st.sigma, interpret=True)
 
     from quadraticprogramsolver_tpu.core.state import SolverState

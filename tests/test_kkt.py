@@ -133,3 +133,39 @@ def test_ldl_backend_batched():
                                          eps_rel=1e-7, rho=0.1, adaptive_rho=True))
     dev = np.abs(np.asarray(sol.x) - np.asarray(ref.x)).max()
     assert dev <= 1e-6, dev
+
+
+def test_per_constraint_rho_equality_weighting():
+    # rho_eq_scale (OSQP vector-rho / reference To-Do #1) must cut iterations
+    # on equality-constrained problems and agree with the oracle solution.
+    # seed 14: feasible instance (the generator's sparse A is often
+    # rank-deficient at this size, making l=u infeasible).
+    data = generate_random_qp(ProblemClass.EQUALITY_QP, 24, seed=14)
+    ref = solve_qp_reference(data.P, data.q, data.A, data.l, data.u,
+                             eps_abs=1e-10, eps_rel=1e-10, rho=0.1)
+    assert ref.status == 3
+    qp = qps.make_qp(*data.dense(), dtype=np.float64)
+    base = qps.Settings(max_iterations=50_000, eps_abs=1e-8, eps_rel=1e-8,
+                        rho=0.1, adaptive_rho=True)
+    vec = qps.Settings(max_iterations=50_000, eps_abs=1e-8, eps_rel=1e-8,
+                       rho=0.1, adaptive_rho=True, rho_eq_scale=1e3)
+    s_base = qps.solve_jit(qp, base)
+    s_vec = qps.solve_jit(qp, vec)
+    assert np.abs(np.asarray(s_vec.x) - ref.x).max() <= 1e-6
+    assert int(s_vec.info.iterations) <= int(s_base.info.iterations)
+
+
+@pytest.mark.parametrize("kind", [KKTBackendKind.CHOLESKY, KKTBackendKind.KKT_LDL,
+                                  KKTBackendKind.CG])
+def test_per_constraint_rho_backends_agree(kind):
+    # All backends must implement the weighted KKT system identically.
+    data = generate_random_qp(ProblemClass.RANDOM_QP, 20, seed=4)
+    qp = qps.make_qp(*data.dense(), dtype=np.float64)
+    st = qps.Settings(max_iterations=30_000, eps_abs=1e-8, eps_rel=1e-8,
+                      rho=0.1, adaptive_rho=True, rho_eq_scale=1e3,
+                      kkt_backend=kind, cg_eps=1e-12, cg_max_iterations=2000)
+    sol = qps.solve_jit(qp, st)
+    ref = solve_qp_reference(data.P, data.q, data.A, data.l, data.u,
+                             eps_abs=1e-10, eps_rel=1e-10, rho=0.1)
+    assert ref.status == 3
+    assert np.abs(np.asarray(sol.x) - ref.x).max() <= 1e-6, kind
