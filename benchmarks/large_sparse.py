@@ -1,0 +1,72 @@
+"""Large sparse QP via matrix-free PCG — BASELINE.md config 4 (n=1e5 scale).
+
+    python benchmarks/large_sparse.py [--n 100000]
+
+Solves one n-variable sparse QP (BCOO P and A, never materializing the
+normal matrix) with the Jacobi-PCG KKT backend under the batched ADMM core,
+then verifies KKT optimality host-side and prints timing.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--n", type=int, default=100_000)
+    p.add_argument("--eps", type=float, default=1e-4)
+    args = p.parse_args(argv)
+
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    import quadraticprogramsolver_tpu as qps
+    from quadraticprogramsolver_tpu.problems.generator import generate_large_sparse_qp
+    from quadraticprogramsolver_tpu.utils.oracle import kkt_optimality
+
+    t0 = time.perf_counter()
+    data = generate_large_sparse_qp(args.n, seed=0)
+    print(f"generated n={args.n} m={data.m} nnz(P)={data.P.nnz} "
+          f"nnz(A)={data.A.nnz} in {time.perf_counter()-t0:.1f}s "
+          f"(device {jax.devices()[0]})")
+
+    sqp = qps.make_sparse_qp(data.P, data.q, data.A, data.l, data.u,
+                             dtype=np.float32)
+    st = qps.Settings(max_iterations=2000, eps_abs=args.eps, eps_rel=args.eps,
+                      rho=0.1, adaptive_rho=True, cg_eps=1e-7,
+                      cg_max_iterations=400)
+
+    sol = qps.solve_jit(sqp, st)  # compile + run
+    float(np.asarray(sol.x.ravel()[0]))
+    times = []
+    for _ in range(2):
+        t0 = time.perf_counter()
+        sol = qps.solve_jit(sqp, st)
+        float(np.asarray(sol.x.ravel()[0]))
+        times.append(time.perf_counter() - t0)
+    print(f"solve: {min(times)*1e3:.0f} ms, status "
+          f"{qps.Status(int(sol.info.status)).name}, "
+          f"iterations {int(sol.info.iterations)}, "
+          f"res_prim {float(sol.info.res_prim):.2e}, "
+          f"res_dual {float(sol.info.res_dual):.2e}")
+
+    rep = kkt_optimality(data.P, data.q, data.A, data.l, data.u,
+                         np.asarray(sol.x), np.asarray(sol.z),
+                         np.asarray(sol.y))
+    print(f"KKT: prim {rep.res_prim:.2e} dual {rep.res_dual:.2e} "
+          f"comp {rep.res_comp:.2e}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

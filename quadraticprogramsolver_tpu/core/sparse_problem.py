@@ -1,14 +1,21 @@
-"""Sparse (BCOO) QP container for the large-problem matrix-free path.
+"""Sparse QP container for the large-problem matrix-free path (ELL format).
 
 The reference routes large/sparse problems to PCG instead of factorizing
 (`SolveQuadraticProgram.m:190-204`) and leans on MKL sparse matvecs
-(`SolveQuadraticProgram.jl:5`). The TPU analogue: store P and A as
-`jax.experimental.sparse` BCOO, never materialize P + sigma*I + rho*A'A, and
-drive the same ADMM core through the shared operator protocol (matvec_P /
-matvec_A / matvec_At / diag_*) with the CG KKT backend.
+(`SolveQuadraticProgram.jl:5`). The TPU analogue stores P and A in **ELL
+format** — every row padded to the matrix's max nonzeros-per-row, giving a
+(rows, k) value array and a (rows, k) column-index array — so a sparse
+matvec is one XLA gather plus dense VPU math:
+
+    y = sum_k vals[:, k] * x[cols[:, k]]
+
+Gathers lower well on TPU; jax.experimental.sparse BCOO matvecs lower to
+sort/scatter and measured ~1000x slower at n=1e5 (and crashed the worker
+inside the full solve). Transposed products A'w avoid scatter entirely by
+also storing A' in row-ELL (its own gather). P is stored once (symmetric).
 
 SparseQP is unbatched by design: the fleet axis is for dense padded
-instances; a single huge sparse QP is scaled via consensus block-splitting
+instances; a single huge sparse QP scales via consensus block-splitting
 (parallel/consensus.py) instead.
 """
 
@@ -19,7 +26,6 @@ import dataclasses
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.experimental import sparse as jsparse
 
 
 def _pytree_dataclass(cls):
@@ -27,20 +33,29 @@ def _pytree_dataclass(cls):
     return jax.tree_util.register_dataclass(cls, data_fields=fields, meta_fields=[])
 
 
+def _ell_matvec(vals: jax.Array, cols: jax.Array, v: jax.Array) -> jax.Array:
+    """(rows, k) ELL x (n,) -> (rows,): gather + rowwise dot."""
+    return jnp.sum(vals * v[cols], axis=-1)
+
+
 @_pytree_dataclass
 @dataclasses.dataclass(frozen=True)
 class SparseQP:
-    """Box-constrained QP with BCOO matrices (single instance, no batch).
+    """Box-constrained QP with ELL-format matrices (single instance).
 
-    ``At`` is the pre-transposed constraint matrix (BCOO transposition is a
-    host-side one-time cost; doing it per-iteration would re-sort indices).
-    ``dP``/``dAtA`` are precomputed diagonals for the Jacobi preconditioner.
+    ``P_*``: (n, kP) rows of P;  ``A_*``: (m, kA) rows of A;
+    ``At_*``: (n, kAt) rows of A' (pre-transposed so A'w is also a gather).
+    Padding entries carry value 0 and column 0. ``dP``/``dAtA`` are
+    precomputed diagonals for the Jacobi preconditioner.
     """
 
-    P: jsparse.BCOO    # (n, n)
+    P_vals: jax.Array
+    P_cols: jax.Array
+    A_vals: jax.Array
+    A_cols: jax.Array
+    At_vals: jax.Array
+    At_cols: jax.Array
     q: jax.Array       # (n,)
-    A: jsparse.BCOO    # (m, n)
-    At: jsparse.BCOO   # (n, m)
     l: jax.Array       # (m,)
     u: jax.Array       # (m,)
     dP: jax.Array      # (n,) diag(P)
@@ -48,11 +63,11 @@ class SparseQP:
 
     @property
     def n(self) -> int:
-        return self.P.shape[-1]
+        return self.q.shape[0]
 
     @property
     def m(self) -> int:
-        return self.A.shape[-2]
+        return self.l.shape[0]
 
     @property
     def batch_shape(self) -> tuple[int, ...]:
@@ -69,13 +84,13 @@ class SparseQP:
     # -- operator protocol --
 
     def matvec_P(self, v: jax.Array) -> jax.Array:
-        return self.P @ v
+        return _ell_matvec(self.P_vals, self.P_cols, v)
 
     def matvec_A(self, v: jax.Array) -> jax.Array:
-        return self.A @ v
+        return _ell_matvec(self.A_vals, self.A_cols, v)
 
-    def matvec_At(self, v: jax.Array) -> jax.Array:
-        return self.At @ v
+    def matvec_At(self, w: jax.Array) -> jax.Array:
+        return _ell_matvec(self.At_vals, self.At_cols, w)
 
     def diag_P(self) -> jax.Array:
         return self.dP
@@ -84,13 +99,30 @@ class SparseQP:
         return self.dAtA
 
     def diag_AtWA(self, w: jax.Array) -> jax.Array:
-        """diag(A' diag(w) A) = (At elementwise-squared) @ w."""
-        At2 = jsparse.BCOO((self.At.data ** 2, self.At.indices),
-                           shape=self.At.shape)
-        return At2 @ w
+        """diag(A' diag(w) A) = sum_k At_vals^2 * w[At_cols] per row."""
+        return jnp.sum(self.At_vals ** 2 * w[self.At_cols], axis=-1)
 
     def objective(self, x: jax.Array) -> jax.Array:
         return 0.5 * jnp.sum(x * self.matvec_P(x), axis=-1) + jnp.sum(self.q * x, axis=-1)
+
+
+def _to_ell(M, dtype) -> tuple[np.ndarray, np.ndarray]:
+    """scipy sparse -> (vals (rows, k), cols (rows, k)) with zero padding."""
+    import scipy.sparse as sp
+
+    M = sp.csr_matrix(M)
+    M.sort_indices()
+    rows = M.shape[0]
+    counts = np.diff(M.indptr)
+    k = max(int(counts.max()) if rows else 0, 1)
+    vals = np.zeros((rows, k), dtype)
+    cols = np.zeros((rows, k), np.int32)
+    for i in range(rows):
+        lo, hi = M.indptr[i], M.indptr[i + 1]
+        c = hi - lo
+        vals[i, :c] = M.data[lo:hi]
+        cols[i, :c] = M.indices[lo:hi]
+    return vals, cols
 
 
 def make_sparse_qp(P, q, A, l, u, dtype=np.float32) -> SparseQP:
@@ -99,18 +131,16 @@ def make_sparse_qp(P, q, A, l, u, dtype=np.float32) -> SparseQP:
 
     P = sp.csr_matrix(P).astype(dtype)
     A = sp.csr_matrix(A).astype(dtype)
-    q = np.asarray(q, dtype)
-    l = np.asarray(l, dtype)
-    u = np.asarray(u, dtype)
     dP = np.asarray(P.diagonal(), dtype)
     dAtA = np.asarray(A.multiply(A).sum(axis=0)).ravel().astype(dtype)
-
-    def to_bcoo(M):
-        coo = M.tocoo()
-        indices = jnp.asarray(np.stack([coo.row, coo.col], axis=1))
-        return jsparse.BCOO((jnp.asarray(coo.data), indices), shape=M.shape)
-
+    Pv, Pc = _to_ell(P, dtype)
+    Av, Ac = _to_ell(A, dtype)
+    Atv, Atc = _to_ell(A.T.tocsr(), dtype)
     return SparseQP(
-        P=to_bcoo(P), q=jnp.asarray(q), A=to_bcoo(A), At=to_bcoo(A.T.tocsr()),
-        l=jnp.asarray(l), u=jnp.asarray(u),
+        P_vals=jnp.asarray(Pv), P_cols=jnp.asarray(Pc),
+        A_vals=jnp.asarray(Av), A_cols=jnp.asarray(Ac),
+        At_vals=jnp.asarray(Atv), At_cols=jnp.asarray(Atc),
+        q=jnp.asarray(np.asarray(q, dtype)),
+        l=jnp.asarray(np.asarray(l, dtype)),
+        u=jnp.asarray(np.asarray(u, dtype)),
         dP=jnp.asarray(dP), dAtA=jnp.asarray(dAtA))

@@ -245,6 +245,37 @@ def generate_random_qp(
     raise ValueError(f"unknown problem class {problem_class}")
 
 
+def generate_large_sparse_qp(
+    num_elements: int,
+    num_constraints: int = 0,
+    nnz_per_row: int = 3,
+    seed: int = 0,
+) -> QPData:
+    """Large sparse feasible QP for the matrix-free PCG path (the n=1e5
+    regime of BASELINE.md config 4; the reference routes this regime to PCG,
+    SolveQuadraticProgram.m:190-204).
+
+    P = I + B'B with B ~ sparse normal (nnz_per_row/n density, 1/sqrt(k)
+    scaled) — SPD, well-conditioned, ~k^2 nnz per row. A ~ sparse normal
+    rows; bounds bracket A @ x0 for a random x0, so the instance is feasible
+    by construction (unlike the random families, which can emit infeasible
+    instances at these sizes).
+    """
+    rng = np.random.default_rng(seed)
+    n = num_elements
+    m = num_constraints or n // 2
+    k = nnz_per_row
+    B = _sprandn(rng, n, n, k / n) / np.sqrt(k)
+    P = (sp.identity(n) + B.T @ B).tocsc()
+    q = rng.standard_normal(n)
+    A = _sprandn(rng, m, n, k / n).tocsc()
+    x0 = rng.standard_normal(n)
+    Ax0 = A @ x0
+    l = Ax0 - rng.random(m)
+    u = Ax0 + rng.random(m)
+    return QPData(P, q, A, l, u)
+
+
 def generate_batch(
     problem_class: ProblemClass,
     batch: int,
