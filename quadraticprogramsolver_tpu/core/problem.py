@@ -25,8 +25,6 @@ TPU-first design notes
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
-from typing import Any
 
 import jax
 import jax.numpy as jnp
@@ -181,11 +179,6 @@ def pad_qp(qp: QP, n_pad: int, m_pad: int) -> QP:
     u = jnp.concatenate(
         [qp.u, jnp.full(batch + (dm,), jnp.inf, dt)], axis=-1) if dm else qp.u
     return QP(P, q, A, l, u)
-
-
-@partial(jax.jit, static_argnames=())
-def _sym(P: jax.Array) -> jax.Array:
-    return 0.5 * (P + jnp.swapaxes(P, -1, -2))
 
 
 @_pytree_dataclass

@@ -34,15 +34,13 @@ TPU-first structure (not a port):
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 
 from ..core.problem import QP
 from ..core.settings import RHO_MAX, RHO_MIN, Settings
 from ..core.state import SolveInfo, Solution, SolverState, Status
-from ..ops.linalg import inf_norm, matvec, matvec_t
+from ..ops.linalg import inf_norm
 from . import kkt as kkt_mod
 from .polish import polish as polish_fn
 

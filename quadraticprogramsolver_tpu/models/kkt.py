@@ -44,7 +44,7 @@ from ..core.settings import (
     KKTBackendKind,
     Settings,
 )
-from ..ops.linalg import add_scaled_identity, inf_norm, matvec, matvec_t, spd_inverse, sym
+from ..ops.linalg import add_scaled_identity, matvec, spd_inverse, sym
 
 
 def resolve_backend(kind: KKTBackendKind, qp) -> KKTBackendKind:

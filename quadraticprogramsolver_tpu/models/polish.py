@@ -25,7 +25,6 @@ error, mirroring the reference's accept-only-if-converged guard (m:322-325).
 
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 
 from ..core.problem import QP
