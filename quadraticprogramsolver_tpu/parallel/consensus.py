@@ -58,12 +58,13 @@ def solve_block_split(qp: QP, settings: Settings = Settings(),
         raise NotImplementedError("polish not supported in block-split mode yet")
     if mesh is None:
         mesh = Mesh(np.asarray(jax.devices()), (BLOCK_AXIS,))
-    n_shards = mesh.shape[BLOCK_AXIS]
+    axis = mesh.axis_names[0]  # accept any 1-D mesh, whatever its axis name
+    n_shards = mesh.shape[axis]
     qp = pad_rows_for_mesh(qp, n_shards)
 
     rep = P()
-    row = P(BLOCK_AXIS)
-    in_specs = (rep, rep, P(BLOCK_AXIS, None), row, row)
+    row = P(axis)
+    in_specs = (rep, rep, P(axis, None), row, row)
     out_specs = (rep, row, row, rep, rep, rep, rep, rep)
 
     @jax.jit
@@ -78,10 +79,10 @@ def solve_block_split(qp: QP, settings: Settings = Settings(),
         eps_admm = jnp.asarray(settings.eps_admm, dt)
 
         def psum(v):
-            return jax.lax.psum(v, BLOCK_AXIS)
+            return jax.lax.psum(v, axis)
 
         def pmax(v):
-            return jax.lax.pmax(v, BLOCK_AXIS)
+            return jax.lax.pmax(v, axis)
 
         def factor(rho):
             AtA = psum(jnp.einsum("ki,kj->ij", A, A))
@@ -100,8 +101,8 @@ def solve_block_split(qp: QP, settings: Settings = Settings(),
         rho0 = jnp.asarray(settings.rho, dt)
         # z/y are row-sharded state: mark them varying over the mesh axis so
         # loop-carry types match after the first (l/u-dependent) update.
-        z0 = jax.lax.pcast(jnp.zeros(m_loc, dt), BLOCK_AXIS, to='varying')
-        y0 = jax.lax.pcast(jnp.zeros(m_loc, dt), BLOCK_AXIS, to='varying')
+        z0 = jax.lax.pcast(jnp.zeros(m_loc, dt), axis, to='varying')
+        y0 = jax.lax.pcast(jnp.zeros(m_loc, dt), axis, to='varying')
         state0 = (
             jnp.zeros(n, dt), z0, y0,  # x z y
             rho0, rho0, factor(rho0),
@@ -168,9 +169,9 @@ def solve_block_split(qp: QP, settings: Settings = Settings(),
     sharding = lambda spec: NamedSharding(mesh, spec)
     Pm = jax.device_put(qp.P, sharding(P(None, None)))
     q = jax.device_put(qp.q, sharding(P(None)))
-    A = jax.device_put(qp.A, sharding(P(BLOCK_AXIS, None)))
-    l = jax.device_put(qp.l, sharding(P(BLOCK_AXIS)))
-    u = jax.device_put(qp.u, sharding(P(BLOCK_AXIS)))
+    A = jax.device_put(qp.A, sharding(P(axis, None)))
+    l = jax.device_put(qp.l, sharding(P(axis)))
+    u = jax.device_put(qp.u, sharding(P(axis)))
 
     # Full-f32 matmul accumulation on TPU (see models/admm.py rationale);
     # the context is trace-time, so wrapping the first (tracing) call suffices.
