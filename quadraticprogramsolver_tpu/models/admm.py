@@ -34,8 +34,11 @@ TPU-first structure (not a port):
 
 from __future__ import annotations
 
+from dataclasses import replace as dataclasses_replace
+
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..core.problem import QP
 from ..core.settings import RHO_MAX, RHO_MIN, Settings
@@ -395,3 +398,43 @@ def _solve_core(qp: QP, settings: Settings, x0, z0=None, y0=None, rho0=None) -> 
 
 
 solve_jit = jax.jit(solve, static_argnames=("settings",))
+
+
+def solve_segmented(qp: QP, settings: Settings = Settings(),
+                    segment_iterations: int = 100,
+                    x0=None, z0=None, y0=None) -> Solution:
+    """Host-driven segmented solve: run the device program in bounded
+    segments, carrying (x, z, y, rho) between them.
+
+    Equivalent math to :func:`solve` (a segment boundary is just another
+    check boundary), with two uses: (a) very long solves on backends that
+    limit single-program runtime (the remote-TPU worker here faults on
+    multi-minute programs), and (b) checkpointable long solves — each
+    segment's Solution can be persisted (utils/checkpoint.py) and resumed.
+
+    Note: per-lane iteration counts are exact for lanes that finish in the
+    final segment; lanes that converged in an earlier segment re-verify on
+    re-entry, so their counts are accurate to within one check interval per
+    extra segment.
+    """
+    seg = -(-segment_iterations // settings.check_interval) * settings.check_interval
+    total = settings.num_checks * settings.check_interval
+    seg_settings = dataclasses_replace(settings, max_iterations=seg)
+    done_iters = 0
+    sol = None
+    rho0 = None
+    while done_iters < total:
+        sol = solve_jit(qp, seg_settings, x0, z0, y0, rho0)
+        status = np.asarray(sol.info.status)
+        done_iters += seg
+        if (status != Status.MAX_ITERATIONS).all():
+            break
+        x0, z0, y0, rho0 = sol.x, sol.z, sol.y, sol.info.rho
+    info = SolveInfo(
+        status=sol.info.status,
+        iterations=jnp.minimum(
+            sol.info.iterations + (done_iters - seg), total).astype(jnp.int32),
+        res_prim=sol.info.res_prim, res_dual=sol.info.res_dual,
+        rho=sol.info.rho, objective=sol.info.objective,
+        history=sol.info.history)
+    return Solution(x=sol.x, z=sol.z, y=sol.y, info=info)

@@ -102,8 +102,14 @@ def spd_inverse_blocked(M: jax.Array) -> jax.Array:
                   [-S^{-1} W,              S^{-1}]],   W = B A^{-1}.
 
     Two half-size recursive inversions + four batched matmuls per level, so
-    the whole computation maps onto the MXU.
+    the whole computation maps onto the MXU. Only the final result is
+    symmetrized — intermediate blocks are symmetric up to roundoff by
+    construction, and each extra sym() is a full HBM pass over B*n^2.
     """
+    return sym(_spd_inverse_blocked_raw(M))
+
+
+def _spd_inverse_blocked_raw(M: jax.Array) -> jax.Array:
     n = M.shape[-1]
     if n <= _SPD_BASE_N or n % 2:
         return _spd_inverse_cholesky(M)
@@ -111,12 +117,12 @@ def spd_inverse_blocked(M: jax.Array) -> jax.Array:
     A = M[..., :h, :h]
     B = M[..., h:, :h]
     C = M[..., h:, h:]
-    A_inv = spd_inverse_blocked(sym(A))
+    A_inv = _spd_inverse_blocked_raw(A)
     W = jnp.einsum("...ij,...jk->...ik", B, A_inv)
     S = C - jnp.einsum("...ij,...kj->...ik", W, B)
-    S_inv = spd_inverse_blocked(sym(S))
+    S_inv = _spd_inverse_blocked_raw(S)
     SW = jnp.einsum("...ij,...jk->...ik", S_inv, W)
     top_left = A_inv + jnp.einsum("...ji,...jk->...ik", W, SW)
     top = jnp.concatenate([top_left, -jnp.swapaxes(SW, -1, -2)], axis=-1)
     bot = jnp.concatenate([-SW, S_inv], axis=-1)
-    return sym(jnp.concatenate([top, bot], axis=-2))
+    return jnp.concatenate([top, bot], axis=-2)

@@ -213,3 +213,23 @@ def test_residual_history_recorded():
     # History off by default.
     sol2 = qps.solve_jit(qps.make_qp(*data.dense(), dtype=np.float64), TEST_SETTINGS)
     assert sol2.info.history is None
+
+
+def test_segmented_solve_matches_plain():
+    from quadraticprogramsolver_tpu.models.admm import solve_segmented
+
+    data = qps.generate_random_qp(ProblemClass.RANDOM_QP, 24, seed=3)
+    qp = qps.make_qp(*data.dense(), dtype=np.float64)
+    st = qps.Settings(max_iterations=2000, eps_abs=1e-8, eps_rel=1e-8, rho=0.1,
+                      adaptive_rho=True)
+    plain = qps.solve_jit(qp, st)
+    seg = solve_segmented(qp, st, segment_iterations=50)
+    assert int(seg.info.status) in (2, 3)
+    dev = np.abs(np.asarray(seg.x) - np.asarray(plain.x)).max()
+    assert dev <= 1e-7, dev
+    # A budget-exhausting problem still reports MAX_ITERATIONS.
+    tiny = qps.Settings(max_iterations=100, eps_abs=1e-14, eps_rel=1e-14,
+                        rho=0.1, check_infeasibility=False)
+    seg2 = solve_segmented(qp, tiny, segment_iterations=25)
+    assert int(seg2.info.status) == qps.Status.MAX_ITERATIONS
+    assert int(seg2.info.iterations) == 100
