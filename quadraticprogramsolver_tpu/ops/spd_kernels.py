@@ -18,14 +18,20 @@ The 128x128 pivot-block inverses use the same sweep at scalar granularity —
 128 sequential steps of rank-1 VPU updates; everything else is MXU matmuls.
 n and m must be multiples of 128 (pad_qp).
 
-Performance status (TPU v5e, B=2048, n=512, m=256): 316 ms vs 294 ms for the
-XLA build + blocked-Schur path — numerically equivalent (3e-6 rel), not yet
-faster. Measured breakdown: gram+IO 44 ms, level matmuls +27 ms, scalar
-sweeps +240 ms; the sweep cost is per-sequential-step loop overhead
-(~0.2 us x 512 steps x 2048 lanes), not arithmetic. Known fix for a future
-round: stack L lanes per grid program (scratch (L, n, n)) so one step's
-overhead covers L lanes; needs the manual-DMA (pl.ANY inputs) layout to fit
-VMEM. The solver currently keeps the XLA path (ops/linalg.spd_inverse).
+Performance status (TPU v5e, B=2048, n=512, m=256) — all variants measured,
+none beats XLA yet; the solver keeps ops/linalg.spd_inverse (recursive
+blocked Schur, 238 ms):
+  * monolithic per-lane kernel: 316 ms. Bisected: gram+IO 44 ms, level
+    matmuls +27 ms, scalar sweeps +240 ms — per-sequential-step loop
+    overhead (~0.2 us x 512 steps x 2048 serialized lane programs), not
+    arithmetic.
+  * multi-lane pivot kernel (pallas_spd_inverse_nb, lanes stacked 2D):
+    amortizes the loop overhead but replaces it with per-step dot latency
+    (the mask + one-hot-matmul extraction Mosaic forces — it rejects rank-3
+    elementwise layouts, strided value slices, and value dynamic_slice);
+    141 ms for the (B,128,128) pivots alone vs 84 ms XLA Cholesky.
+The kernels are correct (interpret-mode tests) and kept as the starting
+point for a future Mosaic version with better layout support.
 """
 
 from __future__ import annotations
@@ -69,6 +75,106 @@ def _sweep_inverse_block(D):
 
     S = jax.lax.fori_loop(0, NB, step, D)
     return -S
+
+
+def _pivot_sweep_kernel_2d(S_ref, out_ref, *, lanes: int):
+    """Scalar sweep inversion of `lanes` stacked (NB, NB) SPD blocks, laid
+    out 2D as (lanes*NB, NB) — lane g occupies rows [g*NB, (g+1)*NB).
+
+    Everything stays rank-2 (Mosaic's layout inference rejects the natural
+    rank-3 formulation), pivot row/scalar extraction is mask + one-hot
+    matmul (no strided value slices, which Mosaic also rejects), and the
+    segment broadcast back down each lane block is the constant E matmul.
+    """
+    L = lanes
+    f32 = jnp.float32
+    cols_idx = jax.lax.broadcasted_iota(jnp.int32, (L * NB, NB), 1)
+    rows_mod = jax.lax.broadcasted_iota(jnp.int32, (L * NB, NB), 0) % NB
+    # Constant one-hot segment-broadcast operator: E[i, g] = 1 iff row i
+    # belongs to lane g; E @ (L, k) replicates each lane's row down its block
+    # (pltpu.repeat tiles rather than element-repeats, so it can't be used).
+    E = (jax.lax.broadcasted_iota(jnp.int32, (L * NB, L), 0) // NB
+         == jax.lax.broadcasted_iota(jnp.int32, (L * NB, L), 1)).astype(f32)
+
+    def bcast(x_lanes):
+        return jax.lax.dot_general(
+            E, x_lanes, (((1,), (0,)), ((), ())),
+            preferred_element_type=f32, precision=_HI)
+
+    def step(j, S):
+        col_m = cols_idx == j
+        row_m = rows_mod == j
+        # Pivot-row extraction via a mask + the same segment-broadcast matmul
+        # (Mosaic supports neither strided value slices nor rank-3 layouts):
+        # row_sum[i] = row j of lane(i) summed out, then re-broadcast.
+        r_full = bcast(jax.lax.dot_general(
+            jnp.swapaxes(E, 0, 1), jnp.where(row_m, S, 0.0),
+            (((1,), (0,)), ((), ())), preferred_element_type=f32,
+            precision=_HI))                                    # (L*NB, NB)
+        c = jnp.sum(jnp.where(col_m, S, 0.0), axis=1, keepdims=True)
+        d = jnp.sum(jnp.where(row_m & col_m, S, 0.0), axis=1, keepdims=True)
+        dinv = bcast(jax.lax.dot_general(
+            jnp.swapaxes(E, 0, 1), d, (((1,), (0,)), ((), ())),
+            preferred_element_type=f32, precision=_HI))
+        dinv = 1.0 / jnp.where(dinv == 0, 1.0, dinv)
+        S = S - (c * dinv) * r_full
+        S = jnp.where(col_m, c * dinv, S)
+        S = jnp.where(row_m, r_full * dinv, S)
+        S = jnp.where(row_m & col_m, -dinv, S)
+        return S
+
+    out_ref[:] = -jax.lax.fori_loop(0, NB, step, S_ref[:])
+
+
+@functools.partial(jax.jit, static_argnames=("lanes", "interpret"))
+def pallas_spd_inverse_nb(D, *, lanes: int = 8, interpret: bool = False):
+    """Batched (B, NB, NB) SPD inverse via the multi-lane 2D sweep kernel."""
+    B = D.shape[0]
+    if D.shape[-1] != NB or D.shape[-2] != NB:
+        raise ValueError(f"blocks must be ({NB}, {NB}); got {D.shape}")
+    L = lanes
+    while B % L:
+        L //= 2
+    f32 = jnp.float32
+    flat = D.astype(f32).reshape(B * NB, NB)
+    out = pl.pallas_call(
+        functools.partial(_pivot_sweep_kernel_2d, lanes=L),
+        grid=(B // L,),
+        in_specs=[pl.BlockSpec((L * NB, NB), lambda b: (b, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((L * NB, NB), lambda b: (b, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B * NB, NB), f32),
+        interpret=interpret,
+    )(flat)
+    return out.reshape(B, NB, NB)
+
+
+def spd_inverse_sweep(M, pivot_inverse=None):
+    """Flat (non-recursive) blocked sweep inversion at the XLA level.
+
+    One level per NB-sized pivot block: the big rank-NB updates are regular
+    batched matmuls (well-shaped for the MXU, unlike the recursion's shrinking
+    blocks), and the (B, NB, NB) pivot inversions go to ``pivot_inverse``
+    (default: the multi-lane Pallas sweep kernel).
+    """
+    n = M.shape[-1]
+    if pivot_inverse is None:
+        pivot_inverse = pallas_spd_inverse_nb
+    if n % NB:
+        raise ValueError(f"n must be a multiple of {NB}; got {n}")
+    W = M
+    for k in range(n // NB):
+        s = slice(k * NB, (k + 1) * NB)
+        Dinv = pivot_inverse(W[..., s, s])
+        C = W[..., :, s]
+        R = W[..., s, :]
+        CDinv = jnp.einsum("...ij,...jk->...ik", C, Dinv)
+        W = W - jnp.einsum("...ij,...jk->...ik", CDinv, R)
+        W = W.at[..., :, s].set(CDinv)
+        W = W.at[..., s, :].set(jnp.einsum("...ij,...jk->...ik", Dinv, R))
+        W = W.at[..., s, s].set(-Dinv)
+    return -W
 
 
 def _normal_inverse_kernel(rho_ref, P_ref, A_ref, out_ref, W_ref,
