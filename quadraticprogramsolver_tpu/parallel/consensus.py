@@ -1,24 +1,26 @@
-"""Block-split distributed solve of one large QP (model-parallel analogue).
+"""Block-split distributed solve (model-parallel axis), optionally combined
+with fleet sharding (data-parallel axis) on a 2-D mesh.
 
 The reference is single-process; SURVEY.md §2 designates constraint-block
 splitting with collective reductions as the TPU framework's model-parallel
-axis. This module runs the *exact* OSQP iteration of models/admm.py with the
-constraint rows of A (and z, y, l, u) sharded over a mesh axis, under
-`shard_map` with explicit ICI collectives:
+axis, and BASELINE.md config 5 is the combined case: an MPC/scenario fleet
+sharded over one mesh axis with each problem's constraint rows split over
+the other. This module runs the *exact* OSQP iteration of models/admm.py
+under `shard_map` with explicit ICI collectives:
 
-  * KKT normal matrix:  M = P + sigma*I + rho * psum_d(A_d' A_d)
-  * KKT right-hand side: sigma*x - q + psum_d(A_d'(rho*z_d - y_d))
-  * dual residual:       ||Px + q + psum_d(A_d' y_d)||_inf
-  * primal residual / norms: local inf-norms reduced with pmax
+  * KKT normal matrix:  M = P + sigma*I + rho * psum_blocks(A_d' A_d)
+  * KKT right-hand side: sigma*x - q + psum_blocks(A_d'(rho*z_d - y_d))
+  * dual residual:       ||Px + q + psum_blocks(A_d' y_d)||_inf
+  * primal residual / norms: per-lane inf-norms reduced with pmax
 
-x stays replicated; every device computes the identical x-update, so the
-distributed iterates match the single-device solver exactly (tested to
-~machine precision in tests/test_consensus.py). Scaling story: per-device
-work drops with the number of constraint-row shards, while the per-iteration
-communication is two n-vector psums + a handful of scalar pmaxes — exactly
-the "reduce residual norms and Schur terms via collectives" design of
-SURVEY.md §2. Math per iteration: SolveQuadraticProgram.jl:45-71, residuals
-:79-112.
+x stays replicated across the block axis; every block shard computes the
+identical x-update, so the distributed iterates match the single-device
+solver exactly (tested to ~1e-9). Per-iteration communication is two
+n-vector psums + a handful of per-lane pmaxes, riding ICI.
+
+Math per iteration: SolveQuadraticProgram.jl:45-71, residuals :79-112.
+Limitations vs the single-device solver: no polish, no vector-rho, no
+infeasibility certificates (flags 1-3 only).
 """
 
 from __future__ import annotations
@@ -36,100 +38,147 @@ from ..core.state import SolveInfo, Solution, Status
 from ..ops.linalg import add_scaled_identity, inf_norm, matvec, matvec_t, spd_inverse, sym
 
 BLOCK_AXIS = "blocks"
+FLEET_AXIS = "qp"
 
 
 def pad_rows_for_mesh(qp: QP, n_shards: int) -> QP:
-    """Pad constraint rows to a multiple of the mesh axis with inactive rows."""
-    if qp.batch_shape:
-        raise ValueError("block-split solve takes a single (unbatched) QP")
-    m = qp.m
-    m_pad = -(-m // n_shards) * n_shards
-    if m_pad == m:
-        return qp
+    """Pad constraint rows to a multiple of the block-mesh axis with
+    inactive rows."""
     from ..core.problem import pad_qp
 
-    return pad_qp(qp, qp.n, m_pad)
+    m_pad = -(-qp.m // n_shards) * n_shards
+    return qp if m_pad == qp.m else pad_qp(qp, qp.n, m_pad)
 
 
 def solve_block_split(qp: QP, settings: Settings = Settings(),
                       mesh: Mesh | None = None) -> Solution:
-    """Solve one large dense QP with constraint rows sharded over the mesh."""
-    if settings.polish_iterations:
-        raise NotImplementedError("polish not supported in block-split mode yet")
+    """Solve one large dense QP with constraint rows sharded over a 1-D mesh."""
+    if qp.batch_shape:
+        raise ValueError(
+            "solve_block_split takes a single (unbatched) QP; use "
+            "solve_fleet_block_split for a fleet on a 2-D mesh")
     if mesh is None:
         mesh = Mesh(np.asarray(jax.devices()), (BLOCK_AXIS,))
-    axis = mesh.axis_names[0]  # accept any 1-D mesh, whatever its axis name
-    n_shards = mesh.shape[axis]
+    batched = jax.tree.map(lambda x: x[None], qp)
+    sol = _solve_impl(batched, settings, mesh, fleet_axis=None,
+                      block_axis=mesh.axis_names[0])
+    return jax.tree.map(lambda x: x[0], sol)
+
+
+def solve_fleet_block_split(qp: QP, settings: Settings = Settings(),
+                            mesh: Mesh | None = None) -> Solution:
+    """BASELINE config 5: fleet axis sharded over mesh axis 0 (data
+    parallel), constraint rows split over mesh axis 1 (model parallel)."""
+    if len(qp.batch_shape) != 1:
+        raise ValueError("expected one fleet axis; got batch shape "
+                         f"{qp.batch_shape}")
+    if mesh is None:
+        devs = np.asarray(jax.devices())
+        mesh = Mesh(devs.reshape(-1, 1), (FLEET_AXIS, BLOCK_AXIS))
+    fa, ba = mesh.axis_names
+    if qp.batch_shape[0] % mesh.shape[fa]:
+        raise ValueError(
+            f"fleet size {qp.batch_shape[0]} not divisible by mesh axis "
+            f"{mesh.shape[fa]}")
+    return _solve_impl(qp, settings, mesh, fleet_axis=fa, block_axis=ba)
+
+
+def _solve_impl(qp: QP, settings: Settings, mesh: Mesh,
+                fleet_axis: str | None, block_axis: str) -> Solution:
+    if settings.polish_iterations:
+        raise NotImplementedError("polish not supported in block-split mode")
+    if settings.rho_eq_scale != 1.0:
+        raise NotImplementedError("vector-rho not supported in block-split mode")
+    n_shards = mesh.shape[block_axis]
     qp = pad_rows_for_mesh(qp, n_shards)
 
-    rep = P()
-    row = P(axis)
-    in_specs = (rep, rep, P(axis, None), row, row)
+    fa = fleet_axis  # None => fleet axis unsharded (replicated batch of 1)
+    rep = P(fa)
+    row = P(fa, block_axis)
+    in_specs = (P(fa), rep, P(fa, block_axis, None), row, row)
     out_specs = (rep, row, row, rep, rep, rep, rep, rep)
 
     @jax.jit
     @partial(jax.shard_map, mesh=mesh, in_specs=in_specs, out_specs=out_specs)
     def run(Pm, q, A, l, u):
         dt = Pm.dtype
-        n = Pm.shape[-1]
+        Bb = Pm.shape[0]
         m_loc = A.shape[-2]
         sigma = jnp.asarray(settings.sigma, dt)
         alpha = jnp.asarray(settings.alpha, dt)
         alpha1 = jnp.asarray(1.0 - settings.alpha, dt)
-        eps_admm = jnp.asarray(settings.eps_admm, dt)
 
         def psum(v):
-            return jax.lax.psum(v, axis)
+            return jax.lax.psum(v, block_axis)
 
         def pmax(v):
-            return jax.lax.pmax(v, axis)
+            return jax.lax.pmax(v, block_axis)
 
         def factor(rho):
-            AtA = psum(jnp.einsum("ki,kj->ij", A, A))
-            M = add_scaled_identity(sym(Pm) + rho * sym(AtA), sigma)
+            AtA = psum(jnp.einsum("bki,bkj->bij", A, A))
+            M = add_scaled_identity(
+                sym(Pm) + rho[:, None, None] * sym(AtA), sigma)
             return spd_inverse(M)
 
         def kkt_solve(M_inv, rho, x, z, y):
-            b = sigma * x - q + psum(matvec_t(A, rho * z - y))
+            b = sigma * x - q + psum(matvec_t(A, rho[:, None] * z - y))
             xx = matvec(M_inv, b)
             for _ in range(settings.kkt_refinement_steps):
                 Mxx = (matvec(Pm, xx) + sigma * xx
-                       + rho * psum(matvec_t(A, matvec(A, xx))))
+                       + rho[:, None] * psum(matvec_t(A, matvec(A, xx))))
                 xx = xx + matvec(M_inv, b - Mxx)
             return xx, matvec(A, xx)
 
-        rho0 = jnp.asarray(settings.rho, dt)
-        # z/y are row-sharded state: mark them varying over the mesh axis so
-        # loop-carry types match after the first (l/u-dependent) update.
-        z0 = jax.lax.pcast(jnp.zeros(m_loc, dt), axis, to='varying')
-        y0 = jax.lax.pcast(jnp.zeros(m_loc, dt), axis, to='varying')
+        # Loop-carried state must be pre-marked varying over the axes its
+        # updates depend on (fleet-sharded inputs make everything vary over
+        # the fleet axis; z/y additionally vary over the block axis).
+        fleet_axes = (fleet_axis,) if fleet_axis else ()
+
+        def mark(v, axes):
+            for a in axes:
+                v = jax.lax.pcast(v, a, to="varying")
+            return v
+
+        rho0 = mark(jnp.full((Bb,), settings.rho, dt), fleet_axes)
+        z0 = mark(jnp.zeros((Bb, m_loc), dt), fleet_axes + (block_axis,))
+        y0 = mark(jnp.zeros((Bb, m_loc), dt), fleet_axes + (block_axis,))
         state0 = (
-            jnp.zeros(n, dt), z0, y0,  # x z y
+            mark(jnp.zeros((Bb, Pm.shape[-1]), dt), fleet_axes), z0, y0,
             rho0, rho0, factor(rho0),
-            jnp.zeros((), jnp.int32),                      # status
-            jnp.zeros((), jnp.int32),                      # iteration
-            jnp.full((), jnp.inf, dt), jnp.full((), jnp.inf, dt),  # residuals
+            mark(jnp.zeros((Bb,), jnp.int32), fleet_axes),   # status
+            mark(jnp.zeros((Bb,), jnp.int32), fleet_axes),   # per-lane iters
+            jnp.zeros((), jnp.int32),                        # global iteration
+            mark(jnp.full((Bb,), jnp.inf, dt), fleet_axes),
+            mark(jnp.full((Bb,), jnp.inf, dt), fleet_axes),
         )
         max_total = settings.num_checks * settings.check_interval
 
         def cond(st):
-            return (st[7] < max_total) & (st[6] == Status.RUNNING)
+            return (st[8] < max_total) & jnp.any(st[6] == Status.RUNNING)
 
         def body(st):
-            x, z, y, rho, rho_cand, M_inv, status, it, rp, rd = st
+            x, z, y, rho, rho_cand, M_inv, status, iters, it, rp, rd = st
             if settings.adaptive_rho:
                 f = settings.rho_factor
-                trip = (rho_cand * f < rho) | (rho_cand > f * rho)
+                trip = ((status == Status.RUNNING)
+                        & ((rho_cand * f < rho) | (rho_cand > f * rho)))
                 rho = jnp.where(trip, rho_cand, rho)
-                M_inv = jax.lax.cond(trip, lambda _: factor(rho), lambda mi: mi, M_inv)
+                M_inv = jax.lax.cond(
+                    jnp.any(trip), lambda _: factor(rho), lambda mi: mi, M_inv)
+
+            active = (status == Status.RUNNING)[:, None]
+            rho_col = rho[:, None]
 
             def step(_, carry):
                 x, z, y, xp, zp = carry
                 xx, zz = kkt_solve(M_inv, rho, x, z, y)
                 xp, zp = x, z
-                x = alpha * xx + alpha1 * xp
-                z = jnp.clip(alpha * zz + alpha1 * zp + y / rho, l, u)
-                y = y + rho * (alpha * zz + alpha1 * zp - z)
+                x_new = alpha * xx + alpha1 * xp
+                z_new = jnp.clip(alpha * zz + alpha1 * zp + y / rho_col, l, u)
+                y_new = y + rho_col * (alpha * zz + alpha1 * zp - z_new)
+                x = jnp.where(active, x_new, xp)
+                z = jnp.where(active, z_new, zp)
+                y = jnp.where(active, y_new, y)
                 return x, z, y, xp, zp
 
             x, z, y, xp, zp = jax.lax.fori_loop(
@@ -144,40 +193,53 @@ def solve_block_split(qp: QP, settings: Settings = Settings(),
             max_prim = jnp.maximum(pmax(inf_norm(Ax)), pmax(inf_norm(z)))
             max_dual = jnp.maximum(
                 jnp.maximum(inf_norm(Px), inf_norm(ATy)), inf_norm(q))
+            act = status == Status.RUNNING
 
             if settings.adaptive_rho:
                 den = res_dual * max_prim
                 cand = jnp.clip(
-                    rho * jnp.sqrt(res_prim * max_dual / jnp.where(den == 0, 1.0, den)),
+                    rho * jnp.sqrt(res_prim * max_dual
+                                   / jnp.where(den == 0, 1.0, den)),
                     RHO_MIN, RHO_MAX).astype(dt)
                 ok = jnp.isfinite(cand) & (den != 0) & (cand > 0)
-                rho_cand = jnp.where(ok, cand, rho_cand)
+                rho_cand = jnp.where(act & ok, cand, rho_cand)
 
             solved = ((res_prim < settings.eps_abs + settings.eps_rel * max_prim)
                       & (res_dual < settings.eps_abs + settings.eps_rel * max_dual))
-            fp = ((pmax(inf_norm(x - xp)) <= eps_admm)
-                  & (pmax(inf_norm(z - zp)) <= eps_admm))
-            status = jnp.where(solved, Status.SOLVED, status)
-            status = jnp.where(fp, Status.SOLVED_ADMM, status).astype(jnp.int32)
-            return (x, z, y, rho, rho_cand, M_inv, status, it, res_prim, res_dual)
+            ulp = jnp.asarray(8 * jnp.finfo(dt).eps, dt)
+            eps_admm = jnp.asarray(settings.eps_admm, dt)
+            fp = ((pmax(inf_norm(x - xp))
+                   <= eps_admm + ulp * jnp.maximum(inf_norm(x), 1.0))
+                  & (pmax(inf_norm(z - zp))
+                     <= eps_admm + ulp * jnp.maximum(pmax(inf_norm(z)), 1.0)))
+            status = jnp.where(act & solved, Status.SOLVED, status)
+            status = jnp.where(act & fp, Status.SOLVED_ADMM, status)
+            status = status.astype(jnp.int32)
+            newly = act & (status != Status.RUNNING)
+            iters = jnp.where(newly, it, iters)
+            rp = jnp.where(act, res_prim, rp)
+            rd = jnp.where(act, res_dual, rd)
+            return (x, z, y, rho, rho_cand, M_inv, status, iters, it, rp, rd)
 
-        x, z, y, rho, _, _, status, it, rp, rd = jax.lax.while_loop(cond, body, state0)
-        status = jnp.where(status == Status.RUNNING,
-                           Status.MAX_ITERATIONS, status).astype(jnp.int32)
-        return x, z, y, status, it, rp, rd, rho
+        (x, z, y, rho, _, _, status, iters, it, rp, rd) = jax.lax.while_loop(
+            cond, body, state0)
+        exhausted = status == Status.RUNNING
+        status = jnp.where(exhausted, Status.MAX_ITERATIONS, status).astype(jnp.int32)
+        iters = jnp.where(exhausted, it, iters)
+        return x, z, y, status, iters, rp, rd, rho
 
     sharding = lambda spec: NamedSharding(mesh, spec)
-    Pm = jax.device_put(qp.P, sharding(P(None, None)))
-    q = jax.device_put(qp.q, sharding(P(None)))
-    A = jax.device_put(qp.A, sharding(P(axis, None)))
-    l = jax.device_put(qp.l, sharding(P(axis)))
-    u = jax.device_put(qp.u, sharding(P(axis)))
+    Pm = jax.device_put(qp.P, sharding(P(fa, None, None)))
+    q = jax.device_put(qp.q, sharding(P(fa, None)))
+    A = jax.device_put(qp.A, sharding(P(fa, block_axis, None)))
+    l = jax.device_put(qp.l, sharding(P(fa, block_axis)))
+    u = jax.device_put(qp.u, sharding(P(fa, block_axis)))
 
     # Full-f32 matmul accumulation on TPU (see models/admm.py rationale);
     # the context is trace-time, so wrapping the first (tracing) call suffices.
     with jax.default_matmul_precision("highest"):
-        x, z, y, status, it, rp, rd, rho = run(Pm, q, A, l, u)
+        x, z, y, status, iters, rp, rd, rho = run(Pm, q, A, l, u)
     info = SolveInfo(
-        status=status, iterations=it, res_prim=rp, res_dual=rd, rho=rho,
+        status=status, iterations=iters, res_prim=rp, res_dual=rd, rho=rho,
         objective=qp.objective(x))
     return Solution(x=x, z=z, y=y, info=info)

@@ -53,3 +53,36 @@ def test_block_split_rejects_batched():
     fleet = qps.generate_batch(qps.ProblemClass.RANDOM_QP, 4, 10, seed=0)
     with pytest.raises(ValueError, match="unbatched"):
         solve_block_split(fleet, SETTINGS)
+
+
+def test_fleet_block_split_2d_mesh():
+    # BASELINE config 5 shape: fleet sharded over axis 0, rows over axis 1.
+    from jax.sharding import Mesh
+    from quadraticprogramsolver_tpu.parallel.consensus import solve_fleet_block_split
+
+    fleet = qps.generate_batch(qps.ProblemClass.INEQUALITY_QP, batch=4,
+                               num_elements=24, num_constraints=32, seed=5,
+                               dtype=np.float64)
+    single = qps.solve_jit(fleet, SETTINGS)
+    mesh = Mesh(np.asarray(jax.devices()).reshape(2, 4), ("qp", "blocks"))
+    dist = solve_fleet_block_split(fleet, SETTINGS, mesh)
+    dev = np.abs(np.asarray(dist.x) - np.asarray(single.x)).max()
+    assert dev <= 1e-9, dev
+    assert np.array_equal(np.asarray(dist.info.status),
+                          np.asarray(single.info.status))
+    assert np.array_equal(np.asarray(dist.info.iterations),
+                          np.asarray(single.info.iterations))
+
+
+def test_fleet_block_split_row_padding():
+    from jax.sharding import Mesh
+    from quadraticprogramsolver_tpu.parallel.consensus import solve_fleet_block_split
+
+    fleet = qps.generate_batch(qps.ProblemClass.INEQUALITY_QP, batch=2,
+                               num_elements=16, num_constraints=30, seed=2,
+                               dtype=np.float64)
+    single = qps.solve_jit(fleet, SETTINGS)
+    mesh = Mesh(np.asarray(jax.devices()).reshape(2, 4), ("qp", "blocks"))
+    dist = solve_fleet_block_split(fleet, SETTINGS, mesh)
+    dev = np.abs(np.asarray(dist.x) - np.asarray(single.x)).max()
+    assert dev <= 1e-9, dev
