@@ -48,10 +48,13 @@ def main(argv=None):
     capped = {qps.ProblemClass.LASSO, qps.ProblemClass.HUBER,
               qps.ProblemClass.SVM, qps.ProblemClass.INEQUALITY_QP}
     # Robust f32 settings for the ill-conditioned families: 2 refinement
-    # passes + Ruiz scaling lift huber from 57/64 to 63/64 solved at 1e-4.
+    # passes + Ruiz scaling lift huber from 57/64 to 63/64 solved at 1e-4;
+    # the fused Pallas chunk applies the refinement in-kernel (~9x faster
+    # than the XLA chunk on the hard classes).
     settings = qps.Settings(
         max_iterations=4000, eps_abs=1e-4, eps_rel=1e-4, rho=0.1,
-        adaptive_rho=True, kkt_refinement_steps=2, scaling_iters=10)
+        adaptive_rho=True, kkt_refinement_steps=2, scaling_iters=10,
+        fused_chunk=True)
 
     print(f"pad shape: ({n_pad}, {m_pad}); device: {jax.devices()[0]}")
     results = []

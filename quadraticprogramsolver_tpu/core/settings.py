@@ -77,8 +77,8 @@ class Settings:
     #: matrices resident in VMEM across all iterations of the chunk — ~K*2.5x
     #: less HBM traffic than per-iteration matvecs). Requires the dense
     #: CHOLESKY backend, float32, one batch axis, and n/m multiples of 128
-    #: (pad_qp); silently falls back to the XLA chunk otherwise. Refinement
-    #: steps are not applied inside the fused chunk.
+    #: (pad_qp); silently falls back to the XLA chunk otherwise.
+    #: kkt_refinement_steps apply inside the fused chunk as well.
     fused_chunk: bool = False
     #: Record per-check residuals/rho into SolveInfo.history (device-side
     #: trace buffers of shape (num_checks, *B)).

@@ -101,10 +101,10 @@ def _run_chunk(qp: QP, settings: Settings, backend, state: SolverState):
 
         active = state.status == Status.RUNNING
         x, z, y, xp, zp = fused_admm_chunk(
-            state.kkt_cache["M_inv"], qp.A, qp.q, qp.l, qp.u,
+            state.kkt_cache["M_inv"], qp.A, qp.P, qp.q, qp.l, qp.u,
             state.x, state.z, state.y, rho_row, active,
             K=settings.check_interval, alpha=settings.alpha,
-            sigma=settings.sigma,
+            sigma=settings.sigma, refine=settings.kkt_refinement_steps,
             interpret=jax.default_backend() != "tpu")
         return x, z, y, xp, zp, state.kkt_cache
 

@@ -38,10 +38,17 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _chunk_kernel(active_all_ref,                   # scalar-prefetch (B,) SMEM
-                  Minv_ref, A_ref, q_ref, l_ref, u_ref, rho_ref,
-                  x_ref, z_ref, y_ref,
-                  xo_ref, zo_ref, yo_ref, xpo_ref, zpo_ref,
-                  *, K: int, alpha: float, sigma: float):
+                  *refs, K: int, alpha: float, sigma: float, refine: int):
+    # P is only an operand (and only DMA'd) when refinement is on.
+    if refine > 0:
+        (Minv_ref, A_ref, P_ref, q_ref, l_ref, u_ref, rho_ref,
+         x_ref, z_ref, y_ref,
+         xo_ref, zo_ref, yo_ref, xpo_ref, zpo_ref) = refs
+    else:
+        (Minv_ref, A_ref, q_ref, l_ref, u_ref, rho_ref,
+         x_ref, z_ref, y_ref,
+         xo_ref, zo_ref, yo_ref, xpo_ref, zpo_ref) = refs
+        P_ref = None
     f32 = jnp.float32
     b = pl.program_id(0)
     active = active_all_ref[b] != 0
@@ -67,22 +74,27 @@ def _chunk_kernel(active_all_ref,                   # scalar-prefetch (B,) SMEM
         rho = rho_ref[0]      # (1, m) per-constraint penalties
         rho_inv = 1.0 / rho
 
+        # Precision pinned: the ambient default_matmul_precision may be
+        # HIGH (bf16x3), which Mosaic's dot lowering does not implement.
+        hi = jax.lax.Precision.HIGHEST
+
+        def dot(a, b, dims):
+            return jax.lax.dot_general(
+                a, b, (dims, ((), ())), preferred_element_type=f32,
+                precision=hi)
+
         def body(_, carry):
             x, z, y, _, _ = carry
             t = rho * z - y                                        # (1, m)
-            # Precision pinned: the ambient default_matmul_precision may be
-            # HIGH (bf16x3), which Mosaic's dot lowering does not implement.
-            hi = jax.lax.Precision.HIGHEST
-            At_t = jax.lax.dot_general(
-                t, A, (((1,), (0,)), ((), ())), preferred_element_type=f32,
-                precision=hi)
-            rhs = sg * x - q + At_t                                # (1, n)
-            xx = jax.lax.dot_general(
-                rhs, Minv, (((1,), (0,)), ((), ())), preferred_element_type=f32,
-                precision=hi)
-            zz = jax.lax.dot_general(
-                xx, A, (((1,), (1,)), ((), ())), preferred_element_type=f32,
-                precision=hi)
+            rhs = sg * x - q + dot(t, A, ((1,), (0,)))             # (1, n)
+            xx = dot(rhs, Minv, ((1,), (0,)))
+            for _i in range(refine):
+                # r = rhs - M xx with M = P + sigma*I + A'(rho o (A .))
+                Axx = dot(xx, A, ((1,), (1,)))                     # (1, m)
+                Mxx = (dot(xx, P_ref[0], ((1,), (0,))) + sg * xx
+                       + dot(rho * Axx, A, ((1,), (0,))))
+                xx = xx + dot(rhs - Mxx, Minv, ((1,), (0,)))
+            zz = dot(xx, A, ((1,), (1,)))
             xp, zp = x, z
             x = al * xx + al1 * xp
             z = jnp.clip(al * zz + al1 * zp + rho_inv * y, l, u)
@@ -101,15 +113,18 @@ def _chunk_kernel(active_all_ref,                   # scalar-prefetch (B,) SMEM
 
 @functools.partial(
     jax.jit,
-    static_argnames=("K", "alpha", "sigma", "interpret"))
-def fused_admm_chunk(Minv, A, q, l, u, x, z, y, rho_row, active,
-                     *, K: int, alpha: float, sigma: float,
+    static_argnames=("K", "alpha", "sigma", "refine", "interpret"))
+def fused_admm_chunk(Minv, A, P, q, l, u, x, z, y, rho_row, active,
+                     *, K: int, alpha: float, sigma: float, refine: int = 0,
                      interpret: bool = False):
     """Run K fused ADMM iterations for every active lane.
 
     Args:
       Minv: (B, n, n) cached inverse of P + sigma*I + A'diag(rho_row)A (f32)
-      A: (B, m, n); q,x: (B, n); l,u,z,y,rho_row: (B, m); active: (B,) bool
+      A: (B, m, n); P: (B, n, n); q,x: (B, n); l,u,z,y,rho_row: (B, m);
+      active: (B,) bool; refine: in-kernel iterative-refinement passes per
+      KKT solve. P is only an operand (DMA'd/resident) when refine > 0;
+      VMEM per lane is n^2 + m*n floats (+ n^2 with refinement).
     Returns:
       (x, z, y, x_prev, z_prev) after K iterations (prev = start of the last
       iteration, for the ADMM fixed-point test).
@@ -119,7 +134,8 @@ def fused_admm_chunk(Minv, A, q, l, u, x, z, y, rho_row, active,
     if n % 128 or m % 128:
         raise ValueError(f"fused chunk needs n, m multiples of 128; got {(n, m)}")
     f32 = jnp.float32
-    kernel = functools.partial(_chunk_kernel, K=K, alpha=alpha, sigma=sigma)
+    kernel = functools.partial(_chunk_kernel, K=K, alpha=alpha, sigma=sigma,
+                               refine=refine)
 
     grid = (B,)
     # index_map receives (grid_idx, *scalar_prefetch_refs) under
@@ -136,10 +152,11 @@ def fused_admm_chunk(Minv, A, q, l, u, x, z, y, rho_row, active,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,  # active mask, read per program_id
             grid=grid,
-            in_specs=[
-                mat(n, n), mat(m, n),
-                vec(n), vec(m), vec(m), vec(m), vec(n), vec(m), vec(m),
-            ],
+            in_specs=(
+                [mat(n, n), mat(m, n)]
+                + ([mat(n, n)] if refine > 0 else [])
+                + [vec(n), vec(m), vec(m), vec(m), vec(n), vec(m), vec(m)]
+            ),
             out_specs=[vec(n), vec(m), vec(m), vec(n), vec(m)],
         ),
         out_shape=[
@@ -153,6 +170,7 @@ def fused_admm_chunk(Minv, A, q, l, u, x, z, y, rho_row, active,
     )(
         active.astype(jnp.int32),
         Minv.astype(f32), A.astype(f32),
+        *(([P.astype(f32)]) if refine > 0 else []),
         q.astype(f32)[:, None, :], l.astype(f32)[:, None, :],
         u.astype(f32)[:, None, :], rho_row.astype(f32)[:, None, :],
         x.astype(f32)[:, None, :], z.astype(f32)[:, None, :],

@@ -37,7 +37,7 @@ def test_fused_chunk_matches_xla_chunk():
 
     rho_row = jnp.broadcast_to(rho[:, None], (B, M))
     fx, fz, fy, fxp, fzp = fused_admm_chunk(
-        cache["M_inv"], qp.A, qp.q, qp.l, qp.u, x, z, y, rho_row, active,
+        cache["M_inv"], qp.A, qp.P, qp.q, qp.l, qp.u, x, z, y, rho_row, active,
         K=st.check_interval, alpha=st.alpha, sigma=st.sigma, interpret=True)
 
     from quadraticprogramsolver_tpu.core.state import SolverState
@@ -97,3 +97,21 @@ def test_fused_fallback_conditions():
     sol = qps.solve_jit(qp32, qps.Settings(fused_chunk=True, rho=0.1,
                                            eps_abs=1e-5, eps_rel=1e-5))
     assert np.isfinite(np.asarray(sol.x)).all()
+
+
+def test_fused_chunk_with_refinement_matches_xla():
+    # With refine=1 the fused chunk must match the XLA chunk that also
+    # refines (same math, so f32 agreement should be tight).
+    st = qps.Settings(rho=0.1, check_interval=25, kkt_refinement_steps=1,
+                      fused_chunk=True)
+    qp = _fleet()
+    base = qps.Settings(max_iterations=1000, eps_abs=1e-5, eps_rel=1e-5,
+                        rho=0.1, adaptive_rho=True, kkt_refinement_steps=1)
+    fused = qps.Settings(max_iterations=1000, eps_abs=1e-5, eps_rel=1e-5,
+                         rho=0.1, adaptive_rho=True, kkt_refinement_steps=1,
+                         fused_chunk=True)
+    s0 = qps.solve_jit(qp, base)
+    s1 = qps.solve_jit(qp, fused)
+    assert (np.asarray(s1.info.status) >= 2).all()
+    dev = np.abs(np.asarray(s0.x) - np.asarray(s1.x)).max()
+    assert dev <= 5e-4, dev
