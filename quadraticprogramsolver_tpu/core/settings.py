@@ -146,6 +146,15 @@ class ProxQPSettings:
     #: looping after convergence (`ProxQP.jl:157` has its break commented out);
     #: set False to replicate that exactly.
     early_exit: bool = True
+    #: Run each chunk as one fused Pallas kernel (see Settings.fused_chunk;
+    #: requires f32, one batch axis, and n / n_eq / n_ineq nonzero multiples
+    #: of 128). Falls back to the XLA chunk otherwise.
+    fused_chunk: bool = False
+    #: Initialize from the equality-KKT solve as the reference does
+    #: (ProxQP.jl:80-90). False starts from zeros — measured faster for
+    #: one-shot fleets on TPU (the batched LU costs more than the saved
+    #: iterations: 865 -> 1254 solves/s on a B=512 n=512 fleet).
+    kkt_warm_start: bool = True
 
     @property
     def num_checks(self) -> int:

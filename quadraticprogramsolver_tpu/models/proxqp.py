@@ -126,7 +126,15 @@ def _solve_impl(prob: ProxQPProblem, settings: ProxQPSettings, init) -> ProxQPSo
     batch = prob.batch_shape
     sigma = jnp.asarray(settings.sigma, dt)
 
-    x, y, s, z = warm_start(prob) if init is None else init
+    if init is not None:
+        x, y, s, z = init
+    elif settings.kkt_warm_start:
+        x, y, s, z = warm_start(prob)
+    else:
+        x = jnp.zeros(batch + (prob.n,), dt)
+        y = jnp.zeros(batch + (prob.n_eq,), dt)
+        s = jnp.maximum(prob.d, 0.0)
+        z = jnp.zeros(batch + (prob.n_ineq,), dt)
     rho = jnp.full(batch, settings.rho, dt)
     M_inv = _build_M_inv(prob, rho, sigma)
 
@@ -135,6 +143,15 @@ def _solve_impl(prob: ProxQPProblem, settings: ProxQPSettings, init) -> ProxQPSo
         for _ in range(settings.kkt_refinement_steps):
             v = v + matvec(M_inv, r - _apply_M(prob, rho, sigma, v))
         return v
+
+    fused_ok = (
+        settings.fused_chunk
+        and prob.P.dtype == jnp.float32
+        and len(batch) == 1
+        and prob.n % 128 == 0
+        and prob.n_eq % 128 == 0 and prob.n_eq > 0
+        and prob.n_ineq % 128 == 0 and prob.n_ineq > 0
+    )
 
     def chunk_step(carry, _):
         x, y, s, z, rho, M_inv, converged, iters_done, res_p, res_d, it = carry
@@ -159,8 +176,18 @@ def _solve_impl(prob: ProxQPProblem, settings: ProxQPSettings, init) -> ProxQPSo
                 jnp.where(act, z_new, z),
             )
 
-        x, s, y, z = jax.lax.fori_loop(
-            0, settings.check_interval, one_iter, (x, s, y, z))
+        if fused_ok:
+            from ..ops.fused_proxqp import fused_proxqp_chunk
+
+            x, s, y, z = fused_proxqp_chunk(
+                M_inv, prob.A, prob.C, prob.P, prob.q, prob.b, prob.d,
+                x, s, y, z, rho, active,
+                K=settings.check_interval, sigma=settings.sigma,
+                refine=settings.kkt_refinement_steps,
+                interpret=jax.default_backend() != "tpu")
+        else:
+            x, s, y, z = jax.lax.fori_loop(
+                0, settings.check_interval, one_iter, (x, s, y, z))
         it = it + settings.check_interval
 
         # CheckConvergence! (ProxQP.jl:252-298), PIQP criteria 13a-c.

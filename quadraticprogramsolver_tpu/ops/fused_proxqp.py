@@ -1,0 +1,153 @@
+"""Pallas TPU kernel: fused prox-ALM (ProxQP) iteration chunk.
+
+Same design as ops/fused_admm.py for the second solver family: per lane,
+M^{-1}, A, and C stay resident in VMEM across all check-interval iterations
+(HBM re-reads drop by ~K-fold), with per-lane convergence predication.
+
+Per-lane iteration (identical math to models/proxqp.py, i.e.
+/root/reference/ProxQP.jl:208-249):
+
+    r  = -q + sigma*x + A'(rho*b - y) + C'(rho*(d - s) - z)
+    x  = M^{-1} r        (+ optional in-kernel iterative refinement)
+    s  = max(d - Cx - z/rho, 0)
+    y  = y + rho*(Ax - b)
+    z  = max(z + rho*(Cx - d + s), 0)
+
+Shapes must be padded so n, n_eq, n_ineq are multiples of 128 and the
+equality/inequality counts nonzero; the solver falls back to the XLA chunk
+otherwise.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _chunk_kernel(rho_all_ref, active_all_ref,      # scalar-prefetch (B,)
+                  *refs, K: int, sigma: float, refine: int):
+    if refine > 0:
+        (Minv_ref, A_ref, C_ref, P_ref, q_ref, b_ref, d_ref,
+         x_ref, s_ref, y_ref, z_ref,
+         xo_ref, so_ref, yo_ref, zo_ref) = refs
+    else:
+        (Minv_ref, A_ref, C_ref, q_ref, b_ref, d_ref,
+         x_ref, s_ref, y_ref, z_ref,
+         xo_ref, so_ref, yo_ref, zo_ref) = refs
+        P_ref = None
+    f32 = jnp.float32
+    g = pl.program_id(0)
+    rho = rho_all_ref[g]
+    active = active_all_ref[g] != 0
+    sg = jnp.asarray(sigma, f32)
+
+    @pl.when(jnp.logical_not(active))
+    def _():
+        xo_ref[:] = x_ref[:]
+        so_ref[:] = s_ref[:]
+        yo_ref[:] = y_ref[:]
+        zo_ref[:] = z_ref[:]
+
+    @pl.when(active)
+    def _():
+        Minv = Minv_ref[0]
+        A = A_ref[0]
+        C = C_ref[0]
+        q = q_ref[0]
+        b = b_ref[0]
+        d = d_ref[0]
+        rho_inv = 1.0 / rho
+        hi = jax.lax.Precision.HIGHEST
+
+        def dot(a, bb, dims):
+            return jax.lax.dot_general(
+                a, bb, (dims, ((), ())), preferred_element_type=f32,
+                precision=hi)
+
+        def body(_, carry):
+            x, s, y, z = carry
+            r = (-q + sg * x
+                 + dot(rho * b - y, A, ((1,), (0,)))
+                 + dot(rho * (d - s) - z, C, ((1,), (0,))))
+            x = dot(r, Minv, ((1,), (0,)))
+            for _i in range(refine):
+                Ax_ = dot(x, A, ((1,), (1,)))
+                Cx_ = dot(x, C, ((1,), (1,)))
+                Mx = (dot(x, P_ref[0], ((1,), (0,))) + sg * x
+                      + rho * (dot(Ax_, A, ((1,), (0,)))
+                               + dot(Cx_, C, ((1,), (0,)))))
+                x = x + dot(r - Mx, Minv, ((1,), (0,)))
+            Cx = dot(x, C, ((1,), (1,)))
+            Ax = dot(x, A, ((1,), (1,)))
+            s = jnp.maximum(d - Cx - rho_inv * z, 0.0)
+            y = y + rho * (Ax - b)
+            z = jnp.maximum(z + rho * (Cx - d + s), 0.0)
+            return x, s, y, z
+
+        x, s, y, z = jax.lax.fori_loop(
+            0, K, body, (x_ref[0], s_ref[0], y_ref[0], z_ref[0]))
+        xo_ref[0] = x
+        so_ref[0] = s
+        yo_ref[0] = y
+        zo_ref[0] = z
+
+
+@functools.partial(jax.jit, static_argnames=("K", "sigma", "refine", "interpret"))
+def fused_proxqp_chunk(Minv, A, C, P, q, b, d, x, s, y, z, rho, active,
+                       *, K: int, sigma: float, refine: int = 0,
+                       interpret: bool = False):
+    """Run K fused prox-ALM iterations for every active lane.
+
+    Shapes: Minv/P (B, n, n); A (B, me, n); C (B, mi, n); q/x (B, n);
+    b/y (B, me); d/s/z (B, mi); rho (B,); active (B,) bool. P is only an
+    operand when refine > 0.
+    """
+    B, n = q.shape
+    me = b.shape[-1]
+    mi = d.shape[-1]
+    if n % 128 or me % 128 or mi % 128 or me == 0 or mi == 0:
+        raise ValueError(
+            f"fused proxqp chunk needs n, n_eq, n_ineq nonzero multiples of "
+            f"128; got {(n, me, mi)}")
+    f32 = jnp.float32
+    kernel = functools.partial(_chunk_kernel, K=K, sigma=sigma, refine=refine)
+
+    mat = lambda r, c: pl.BlockSpec((1, r, c), lambda g, *_: (g, 0, 0),
+                                    memory_space=pltpu.VMEM)
+    vec = lambda c: pl.BlockSpec((1, 1, c), lambda g, *_: (g, 0, 0),
+                                 memory_space=pltpu.VMEM)
+
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,  # rho and active, read per program_id
+            grid=(B,),
+            in_specs=(
+                [mat(n, n), mat(me, n), mat(mi, n)]
+                + ([mat(n, n)] if refine > 0 else [])
+                + [vec(n), vec(me), vec(mi),
+                   vec(n), vec(mi), vec(me), vec(mi)]
+            ),
+            out_specs=[vec(n), vec(mi), vec(me), vec(mi)],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((B, 1, n), f32),
+            jax.ShapeDtypeStruct((B, 1, mi), f32),
+            jax.ShapeDtypeStruct((B, 1, me), f32),
+            jax.ShapeDtypeStruct((B, 1, mi), f32),
+        ],
+        interpret=interpret,
+    )(
+        rho.astype(f32), active.astype(jnp.int32),
+        Minv.astype(f32), A.astype(f32), C.astype(f32),
+        *(([P.astype(f32)]) if refine > 0 else []),
+        q.astype(f32)[:, None, :], b.astype(f32)[:, None, :],
+        d.astype(f32)[:, None, :],
+        x.astype(f32)[:, None, :], s.astype(f32)[:, None, :],
+        y.astype(f32)[:, None, :], z.astype(f32)[:, None, :],
+    )
+    return tuple(o[:, 0, :] for o in out)

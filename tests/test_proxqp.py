@@ -142,3 +142,32 @@ def test_lsq_unconstrained_matches_lstsq():
     sol = lsq.solve_lsq(A, b, settings=qps.Settings(eps_abs=1e-10, eps_rel=1e-10))
     x_np = np.linalg.lstsq(A, b, rcond=None)[0]
     assert np.abs(np.asarray(sol.x) - x_np).max() <= 1e-6
+
+
+def test_proxqp_fused_chunk_matches_xla():
+    import jax
+
+    # 128-multiple dims, f32: the fused Pallas chunk (interpret mode on CPU)
+    # must agree with the XLA chunk path.
+    probs = [_random_split_problem(n=128, me=128, mi=128, seed=s,
+                                   dtype=np.float32) for s in (0, 1)]
+    batched = jax.tree.map(lambda *xs: np.stack(xs), *probs)
+    st_x = qps.ProxQPSettings(max_iterations=500, eps_abs=1e-5, eps_rel=1e-5)
+    st_f = qps.ProxQPSettings(max_iterations=500, eps_abs=1e-5, eps_rel=1e-5,
+                              fused_chunk=True)
+    sx = proxqp.solve_jit(batched, st_x)
+    sf = proxqp.solve_jit(batched, st_f)
+    assert np.asarray(sf.info.converged).all()
+    scale = np.abs(np.asarray(sx.x)).max() + 1.0
+    dev = np.abs(np.asarray(sx.x) - np.asarray(sf.x)).max() / scale
+    assert dev <= 1e-4, dev
+
+
+def test_proxqp_zero_start_converges_same():
+    prob = _random_split_problem(seed=2)
+    x_ref = _oracle_x(prob)
+    st = qps.ProxQPSettings(max_iterations=4000, eps_abs=1e-9, eps_rel=1e-9,
+                            kkt_warm_start=False)
+    sol = proxqp.solve_jit(prob, st)
+    assert bool(sol.info.converged)
+    assert np.abs(np.asarray(sol.x) - x_ref).max() <= 1e-5
