@@ -151,9 +151,12 @@ class ProxQPSettings:
     #: of 128). Falls back to the XLA chunk otherwise.
     fused_chunk: bool = False
     #: Initialize from the equality-KKT solve as the reference does
-    #: (ProxQP.jl:80-90). False starts from zeros — measured faster for
-    #: one-shot fleets on TPU (the batched LU costs more than the saved
-    #: iterations: 865 -> 1254 solves/s on a B=512 n=512 fleet).
+    #: (ProxQP.jl:80-90). False starts from zeros — faster at loose
+    #: tolerances on TPU fleets (the batched LU costs more than the saved
+    #: iterations: 865 -> 1254 solves/s at eps 1e-4, B=512 n=512), but at
+    #: tight tolerances on equality-rich problems the warm start is
+    #: load-bearing (measured 25 vs 4000+ iterations at eps 1e-5 with
+    #: n_eq = n). Keep the default unless profiling says otherwise.
     kkt_warm_start: bool = True
 
     @property
