@@ -233,3 +233,15 @@ def test_segmented_solve_matches_plain():
     seg2 = solve_segmented(qp, tiny, segment_iterations=25)
     assert int(seg2.info.status) == qps.Status.MAX_ITERATIONS
     assert int(seg2.info.iterations) == 100
+
+
+def test_bitwise_reproducibility():
+    # SURVEY.md §5: in place of race detection (nothing races on TPU), assert
+    # cross-run determinism — two identical solves must agree bitwise.
+    data = qps.generate_random_qp(ProblemClass.RANDOM_QP, 24, seed=4)
+    qp = qps.make_qp(*data.dense(), dtype=np.float64)
+    a = qps.solve_jit(qp, TEST_SETTINGS)
+    b = qps.solve_jit(qp, TEST_SETTINGS)
+    assert np.array_equal(np.asarray(a.x), np.asarray(b.x))
+    assert np.array_equal(np.asarray(a.y), np.asarray(b.y))
+    assert np.array_equal(np.asarray(a.info.iterations), np.asarray(b.info.iterations))
