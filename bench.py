@@ -68,17 +68,11 @@ def device_random_qp_fleet(batch: int, n: int, m: int, seed: int):
     import quadraticprogramsolver_tpu as qps
 
     density, alpha = 0.15, 1e-2
-    # Small fixed sub-batch: every chunk reuses the same compiled programs,
-    # bounding the worst case to ONE small first-execution per program (this
-    # backend's first execution of a program has minutes-scale variance).
-    CHUNK = 256
-    if batch % CHUNK:
-        raise ValueError(f"batch must be a multiple of {CHUNK}")
 
     @functools.partial(jax.jit, static_argnums=(1, 2))
     def masked_normal(k, r, c):
-        mask = jax.random.uniform(jax.random.fold_in(k, 1), (CHUNK, r, c)) < density
-        return jax.random.normal(k, (CHUNK, r, c), jnp.float32) * mask
+        mask = jax.random.uniform(jax.random.fold_in(k, 1), (batch, r, c)) < density
+        return jax.random.normal(k, (batch, r, c), jnp.float32) * mask
 
     @jax.jit
     def gram(Mm):
@@ -87,24 +81,21 @@ def device_random_qp_fleet(batch: int, n: int, m: int, seed: int):
 
     @jax.jit
     def vectors(k):
-        q = jax.random.normal(k, (CHUNK, n), jnp.float32)
-        l = -jax.random.uniform(jax.random.fold_in(k, 1), (CHUNK, m))
-        u = jax.random.uniform(jax.random.fold_in(k, 2), (CHUNK, m))
-        mask_eq = jax.random.uniform(jax.random.fold_in(k, 3), (CHUNK, m)) <= 0.15
-        mask_u1 = jax.random.uniform(jax.random.fold_in(k, 4), (CHUNK, m)) <= 0.15
+        q = jax.random.normal(k, (batch, n), jnp.float32)
+        l = -jax.random.uniform(jax.random.fold_in(k, 1), (batch, m))
+        u = jax.random.uniform(jax.random.fold_in(k, 2), (batch, m))
+        mask_eq = jax.random.uniform(jax.random.fold_in(k, 3), (batch, m)) <= 0.15
+        mask_u1 = jax.random.uniform(jax.random.fold_in(k, 4), (batch, m)) <= 0.15
         l = jnp.where(mask_eq, u, l)
         u = jnp.where(mask_u1, 1.0, u)
         return q, l, u
 
-    parts = []
-    for i in range(batch // CHUNK):
-        key = jax.random.fold_in(jax.random.PRNGKey(seed), i)
-        Mm = masked_normal(key, n, n)
-        P = gram(Mm)
-        A = masked_normal(jax.random.fold_in(key, 2), m, n)
-        q, l, u = vectors(jax.random.fold_in(key, 3))
-        parts.append(qps.QP(P=P, q=q, A=A, l=l, u=u))
-    return jax.tree.map(lambda *xs: jnp.concatenate(xs, axis=0), *parts)
+    key = jax.random.PRNGKey(seed)
+    Mm = masked_normal(key, n, n)
+    P = gram(Mm)
+    A = masked_normal(jax.random.fold_in(key, 2), m, n)
+    q, l, u = vectors(jax.random.fold_in(key, 3))
+    return qps.QP(P=P, q=q, A=A, l=l, u=u)
 
 
 def main():
