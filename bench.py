@@ -149,7 +149,9 @@ def main():
 
             status = np.asarray(sol.info.status)
             iters = np.asarray(sol.info.iterations)
-            solved = int((status >= 2).sum())
+            # Converged lanes only (flags 2/3); infeasibility flags (4/5)
+            # must not count toward throughput.
+            solved = int(((status == 2) | (status == 3)).sum())
             rate = solved / dt
             log(
                 f"B={batch}: {dt*1e3:.1f} ms, solved {solved}/{batch}, "

@@ -100,7 +100,8 @@ def run_case(case: BenchCase, settings: Settings, seed: int = 1234,
     times, sol = time_solve(qp, settings, samples)
     status = np.asarray(sol.info.status)
     iters = np.asarray(sol.info.iterations)
-    solved = int((status >= 2).sum())
+    # Solved means converged (flags 2/3) — NOT detected-infeasible (4/5).
+    solved = int(((status == 2) | (status == 3)).sum())
     best = min(times)
     return BenchResult(
         case=case,

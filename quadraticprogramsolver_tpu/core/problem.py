@@ -30,11 +30,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-
-def _pytree_dataclass(cls):
-    """Register a frozen dataclass whose fields are all pytree children."""
-    fields = [f.name for f in dataclasses.fields(cls)]
-    return jax.tree_util.register_dataclass(cls, data_fields=fields, meta_fields=[])
+from .pytree import pytree_dataclass as _pytree_dataclass
 
 
 @_pytree_dataclass

@@ -143,8 +143,10 @@ class ProxQPSettings:
     rho_max: float = 1e5                # ProxQP.jl:256
     kkt_refinement_steps: int = 1
     #: Stop iterating once every lane has converged. The reference keeps
-    #: looping after convergence (`ProxQP.jl:157` has its break commented out);
-    #: set False to replicate that exactly.
+    #: looping after convergence (`ProxQP.jl:157` has its break commented
+    #: out); False runs the full budget like the reference, with one
+    #: difference: this solver latches converged-once-seen, while the
+    #: reference recomputes its flag fresh at the final check.
     early_exit: bool = True
     #: Run each chunk as one fused Pallas kernel (see Settings.fused_chunk;
     #: requires f32, one batch axis, and n / n_eq / n_ineq nonzero multiples

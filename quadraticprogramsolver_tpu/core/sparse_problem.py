@@ -27,10 +27,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-
-def _pytree_dataclass(cls):
-    fields = [f.name for f in dataclasses.fields(cls)]
-    return jax.tree_util.register_dataclass(cls, data_fields=fields, meta_fields=[])
+from .pytree import pytree_dataclass as _pytree_dataclass
 
 
 def _ell_matvec(vals: jax.Array, cols: jax.Array, v: jax.Array) -> jax.Array:

@@ -16,6 +16,8 @@ import enum
 import jax
 import jax.numpy as jnp
 
+from .pytree import pytree_dataclass as _pytree_dataclass
+
 
 class Status(enum.IntEnum):
     """Per-instance convergence flag.
@@ -35,11 +37,6 @@ class Status(enum.IntEnum):
     SOLVED = 3
     PRIMAL_INFEASIBLE = 4
     DUAL_INFEASIBLE = 5
-
-
-def _pytree_dataclass(cls):
-    fields = [f.name for f in dataclasses.fields(cls)]
-    return jax.tree_util.register_dataclass(cls, data_fields=fields, meta_fields=[])
 
 
 @_pytree_dataclass

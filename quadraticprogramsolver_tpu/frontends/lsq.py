@@ -35,8 +35,16 @@ def _empty_like(A, rows):
     return (jnp.zeros(batch + (rows, n), A.dtype), jnp.zeros(batch + (rows,), A.dtype))
 
 
+def _check_pairs(B, c, D, e):
+    if (B is None) != (c is None):
+        raise ValueError("B and c must be provided together (Bx <= c)")
+    if (D is None) != (e is None):
+        raise ValueError("D and e must be provided together (Dx = e)")
+
+
 def lsq_to_qp(A, b, B=None, c=None, D=None, e=None) -> QP:
     """Lower the constrained LSQ onto the canonical box form."""
+    _check_pairs(B, c, D, e)
     A, b = jnp.asarray(A), jnp.asarray(b)
     P, q = _normal_objective(A, b)
     if B is None:
@@ -52,6 +60,7 @@ def lsq_to_qp(A, b, B=None, c=None, D=None, e=None) -> QP:
 
 def lsq_to_proxqp(A, b, B=None, c=None, D=None, e=None) -> ProxQPProblem:
     """Lower the constrained LSQ onto the equality/inequality split form."""
+    _check_pairs(B, c, D, e)
     A, b = jnp.asarray(A), jnp.asarray(b)
     P, q = _normal_objective(A, b)
     if B is None:

@@ -419,21 +419,24 @@ def solve_segmented(qp: QP, settings: Settings = Settings(),
     """
     seg = -(-segment_iterations // settings.check_interval) * settings.check_interval
     total = settings.num_checks * settings.check_interval
-    seg_settings = dataclasses_replace(settings, max_iterations=seg)
     done_iters = 0
     sol = None
     rho0 = None
     while done_iters < total:
-        sol = solve_jit(qp, seg_settings, x0, z0, y0, rho0)
+        # Clamp the last segment so the total never exceeds the budget
+        # (at most two compiled segment sizes).
+        this_seg = min(seg, total - done_iters)
+        sol = solve_jit(qp, dataclasses_replace(settings, max_iterations=this_seg),
+                        x0, z0, y0, rho0)
         status = np.asarray(sol.info.status)
-        done_iters += seg
+        done_iters += this_seg
         if (status != Status.MAX_ITERATIONS).all():
             break
         x0, z0, y0, rho0 = sol.x, sol.z, sol.y, sol.info.rho
     info = SolveInfo(
         status=sol.info.status,
         iterations=jnp.minimum(
-            sol.info.iterations + (done_iters - seg), total).astype(jnp.int32),
+            sol.info.iterations + (done_iters - this_seg), total).astype(jnp.int32),
         res_prim=sol.info.res_prim, res_dual=sol.info.res_dual,
         rho=sol.info.rho, objective=sol.info.objective,
         history=sol.info.history)

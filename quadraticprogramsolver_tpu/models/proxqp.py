@@ -36,12 +36,8 @@ import jax.numpy as jnp
 
 from ..core.problem import ProxQPProblem
 from ..core.settings import ProxQPSettings
+from ..core.pytree import pytree_dataclass as _pytree_dataclass
 from ..ops.linalg import add_scaled_identity, inf_norm, matvec, matvec_t, spd_inverse, sym
-
-
-def _pytree_dataclass(cls):
-    fields = [f.name for f in dataclasses.fields(cls)]
-    return jax.tree_util.register_dataclass(cls, data_fields=fields, meta_fields=[])
 
 
 @_pytree_dataclass

@@ -21,11 +21,7 @@ import jax
 import jax.numpy as jnp
 
 from ..core.problem import QP
-
-
-def _pytree_dataclass(cls):
-    fields = [f.name for f in dataclasses.fields(cls)]
-    return jax.tree_util.register_dataclass(cls, data_fields=fields, meta_fields=[])
+from ..core.pytree import pytree_dataclass as _pytree_dataclass
 
 
 @_pytree_dataclass

@@ -90,6 +90,7 @@ def _solve_impl(qp: QP, settings: Settings, mesh: Mesh,
     if settings.rho_eq_scale != 1.0:
         raise NotImplementedError("vector-rho not supported in block-split mode")
     n_shards = mesh.shape[block_axis]
+    m_orig = qp.m
     qp = pad_rows_for_mesh(qp, n_shards)
 
     fa = fleet_axis  # None => fleet axis unsharded (replicated batch of 1)
@@ -239,6 +240,10 @@ def _solve_impl(qp: QP, settings: Settings, mesh: Mesh,
     # the context is trace-time, so wrapping the first (tracing) call suffices.
     with jax.default_matmul_precision("highest"):
         x, z, y, status, iters, rp, rd, rho = run(Pm, q, A, l, u)
+    # Return duals/splits at the caller's constraint count, not the
+    # mesh-padded one (padded rows carry z = y = 0 and never bind).
+    z = z[..., :m_orig]
+    y = y[..., :m_orig]
     info = SolveInfo(
         status=status, iterations=iters, res_prim=rp, res_dual=rd, rho=rho,
         objective=qp.objective(x))

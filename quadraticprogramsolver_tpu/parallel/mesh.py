@@ -20,7 +20,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..core.problem import QP
 from ..core.settings import Settings
 from ..core.state import Solution
-from ..models.admm import solve
+from ..models.admm import solve_jit
 
 BATCH_AXIS = "qp"
 
@@ -81,5 +81,6 @@ def solve_fleet(qp: QP, settings: Settings, mesh: Mesh | None = None,
     """
     mesh = make_fleet_mesh() if mesh is None else mesh
     qp = shard_fleet(qp, mesh, axis_name)
-    fn = jax.jit(solve, static_argnames=("settings",))
-    return fn(qp, settings)
+    # Module-level jit wrapper: a per-call jax.jit would own a fresh trace
+    # cache and re-trace/compile on every call.
+    return solve_jit(qp, settings)

@@ -44,8 +44,9 @@ def difference_operator(order: int, num_samples: int) -> np.ndarray:
 def monotonicity_operator(ref_idx, ref_y) -> np.ndarray:
     """Piecewise-monotonicity constraint operator (GenMonoOp, ProxQP002.jl:91-128).
 
-    For sorted reference indices ``ref_idx`` into a length-N sample vector and
-    reference values ``ref_y`` at those indices, builds M such that
+    For sorted reference indices ``ref_idx`` into the full length-N sample
+    vector ``ref_y`` (the whole signal, matching GenMonoOp's vY), builds M
+    such that
     ``M x <= 0`` forces x to be monotone on each segment, non-decreasing where
     the reference values increase and non-increasing where they decrease.
     Rows cover samples ref_idx[0] .. ref_idx[-1]-1; each row is

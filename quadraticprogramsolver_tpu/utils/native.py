@@ -26,7 +26,10 @@ def _load() -> ctypes.CDLL:
     global _lib
     if _lib is not None:
         return _lib
-    if not os.path.exists(_LIB) or os.path.getmtime(_LIB) < os.path.getmtime(_SRC):
+    stale = (os.path.exists(_SRC)
+             and os.path.exists(_LIB)
+             and os.path.getmtime(_LIB) < os.path.getmtime(_SRC))
+    if not os.path.exists(_LIB) or stale:
         os.makedirs(os.path.dirname(_LIB), exist_ok=True)
         subprocess.run(
             ["g++", "-O3", "-fPIC", "-std=c++17", "-shared", "-o", _LIB, _SRC],

@@ -30,18 +30,25 @@ def trace(log_dir: str):
 
 
 class Timer:
-    """Accumulating wall-clock timer with hard device synchronization."""
+    """Accumulating wall-clock timer.
+
+    Call :func:`hard_sync` on the result *inside* the block, otherwise the
+    measurement ends before the (async-dispatched) device work does:
+
+    >>> t = Timer()
+    >>> with t.measure():
+    ...     sol = qps.solve_jit(qp, settings)
+    ...     hard_sync(sol)
+    """
 
     def __init__(self):
         self.total = 0.0
         self.count = 0
 
     @contextlib.contextmanager
-    def measure(self, result=None):
+    def measure(self):
         t0 = time.perf_counter()
         yield
-        if result is not None:
-            _hard_sync(result)
         self.total += time.perf_counter() - t0
         self.count += 1
 
@@ -50,7 +57,7 @@ class Timer:
         return self.total / max(self.count, 1)
 
 
-def _hard_sync(tree) -> None:
+def hard_sync(tree) -> None:
     """Pull one scalar to host — reliable completion barrier even through
     remote-TPU relays where block_until_ready returns early."""
     import jax

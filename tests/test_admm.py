@@ -245,3 +245,17 @@ def test_bitwise_reproducibility():
     assert np.array_equal(np.asarray(a.x), np.asarray(b.x))
     assert np.array_equal(np.asarray(a.y), np.asarray(b.y))
     assert np.array_equal(np.asarray(a.info.iterations), np.asarray(b.info.iterations))
+
+
+def test_segmented_respects_budget_non_divisible():
+    # total=100, segments of 40 (rounded to 50 by check_interval) must clamp
+    # the last segment so exactly 100 iterations run.
+    from quadraticprogramsolver_tpu.models.admm import solve_segmented
+
+    data = qps.generate_random_qp(ProblemClass.RANDOM_QP, 16, seed=3)
+    qp = qps.make_qp(*data.dense(), dtype=np.float64)
+    st = qps.Settings(max_iterations=100, eps_abs=1e-14, eps_rel=1e-14,
+                      rho=0.1, check_interval=25, check_infeasibility=False)
+    seg = solve_segmented(qp, st, segment_iterations=40)
+    assert int(seg.info.status) == qps.Status.MAX_ITERATIONS
+    assert int(seg.info.iterations) == 100

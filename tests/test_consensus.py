@@ -86,3 +86,13 @@ def test_fleet_block_split_row_padding():
     dist = solve_fleet_block_split(fleet, SETTINGS, mesh)
     dev = np.abs(np.asarray(dist.x) - np.asarray(single.x)).max()
     assert dev <= 1e-9, dev
+
+
+def test_block_split_returns_unpadded_duals():
+    # m=30 on 8 devices pads to 32 internally; the returned z/y must have 30.
+    data = qps.generate_random_qp(qps.ProblemClass.INEQUALITY_QP, 16,
+                                  num_constraints=30, seed=2)
+    qp = qps.make_qp(*data.dense(), dtype=np.float64)
+    dist = solve_block_split(qp, SETTINGS)
+    assert dist.z.shape == (30,)
+    assert dist.y.shape == (30,)

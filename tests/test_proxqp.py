@@ -171,3 +171,15 @@ def test_proxqp_zero_start_converges_same():
     sol = proxqp.solve_jit(prob, st)
     assert bool(sol.info.converged)
     assert np.abs(np.asarray(sol.x) - x_ref).max() <= 1e-5
+
+
+def test_lsq_inconsistent_args_rejected():
+    from quadraticprogramsolver_tpu.frontends import lsq
+
+    rng = np.random.default_rng(0)
+    A = rng.standard_normal((10, 4))
+    b = rng.standard_normal(10)
+    with pytest.raises(ValueError, match="together"):
+        lsq.lsq_to_qp(A, b, c=np.zeros(2))
+    with pytest.raises(ValueError, match="together"):
+        lsq.lsq_to_proxqp(A, b, D=np.zeros((2, 4)))
