@@ -6,7 +6,9 @@ pluggable KKT backends, 9-class benchmark generator) for TPU fleets of QPs.
 See SURVEY.md at the repo root for the structural map of the reference.
 """
 
-from .core.problem import QP, ProxQPProblem, make_proxqp, make_qp, pad_qp, stack_qps
+from .core.problem import (
+    QP, ProxQPProblem, make_proxqp, make_qp, pad_qp, stack_qps, validate_qp,
+)
 from .core.settings import KKTBackendKind, ProxQPSettings, Settings
 from .core.sparse_problem import SparseQP, make_sparse_qp
 from .core.state import SolveInfo, Solution, Status
@@ -26,6 +28,7 @@ __all__ = [
     "make_sparse_qp",
     "pad_qp",
     "stack_qps",
+    "validate_qp",
     "Settings",
     "ProxQPSettings",
     "KKTBackendKind",

@@ -121,6 +121,11 @@ def validate_qp(qp: QP) -> None:
     P = np.asarray(qp.P)
     if not np.allclose(P, np.swapaxes(P, -1, -2), atol=1e-6 * (1.0 + np.abs(P).max())):
         raise ValueError("P must be symmetric")
+    # OSQP validates l <= u at setup: inverted bounds make the box empty in a
+    # way the §3.4 Farkas certificates cannot express (they presuppose l <= u),
+    # so the solve would stall on clip(v, l, u) = u instead of flagging.
+    if np.any(np.asarray(qp.l) > np.asarray(qp.u)):
+        raise ValueError("bounds must satisfy l <= u elementwise")
 
 
 def make_qp(P, q, A, l, u, dtype=None) -> QP:

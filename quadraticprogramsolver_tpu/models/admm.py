@@ -180,23 +180,42 @@ def _infeasibility_certificates(qp: QP, settings: Settings, dx, dy):
     return prim_inf, dual_inf
 
 
-def _check_convergence(qp: QP, settings: Settings, state: SolverState, x, z, y, xp, zp):
+def _check_convergence(qp: QP, settings: Settings, state: SolverState, x, z, y, xp, zp,
+                       term_scale=None):
     """Residuals, adaptive-rho candidate, and termination flags.
 
     Math follows `CheckConvergence` (SolveQuadraticProgram.jl:79-112),
     including its flag precedence: when both the primal/dual test and the
     ADMM fixed-point test pass in the same check, the fixed-point flag wins
     (jl:102-107 assigns convPrimDual then overwrites with convAdmm).
+
+    When ``term_scale`` (a ScalingData from Ruiz equilibration) is given,
+    every residual/norm is mapped back to the **unscaled** problem before the
+    tests — OSQP's own termination discipline. With P' = cDPD, A' = EAD,
+    x = Dx', y = Ey'/c the unscaled residual vectors are
+    E^{-1}(A'x' - z') and D^{-1}(P'x' + q' + A''y')/c.
     """
     dt = qp.dtype
     Ax = qp.matvec_A(x)
     Px = qp.matvec_P(x)
     ATy = qp.matvec_At(y)
 
-    res_prim = inf_norm(Ax - z)
-    res_dual = inf_norm(Px + qp.q + ATy)
-    max_prim = jnp.maximum(inf_norm(Ax), inf_norm(z))
-    max_dual = jnp.maximum(jnp.maximum(inf_norm(Px), inf_norm(ATy)), inf_norm(qp.q))
+    if term_scale is None:
+        unsc_p = unsc_d = lambda v: v          # already unscaled
+        unsc_x = lambda v: v
+    else:
+        e_inv = 1.0 / term_scale.e
+        dc_inv = 1.0 / (term_scale.d * term_scale.c[..., None])
+        unsc_p = lambda v: v * e_inv           # row-space (primal) vectors
+        unsc_d = lambda v: v * dc_inv          # variable-space (dual) vectors
+        unsc_x = lambda v: v * term_scale.d    # primal iterate deltas
+
+    res_prim = inf_norm(unsc_p(Ax - z))
+    res_dual = inf_norm(unsc_d(Px + qp.q + ATy))
+    max_prim = jnp.maximum(inf_norm(unsc_p(Ax)), inf_norm(unsc_p(z)))
+    max_dual = jnp.maximum(
+        jnp.maximum(inf_norm(unsc_d(Px)), inf_norm(unsc_d(ATy))),
+        inf_norm(unsc_d(qp.q)))
 
     active = state.status == Status.RUNNING
 
@@ -219,14 +238,18 @@ def _check_convergence(qp: QP, settings: Settings, state: SolverState, x, z, y, 
     # in f32.
     ulp = jnp.asarray(8 * jnp.finfo(dt).eps, dt)
     eps_admm = jnp.asarray(settings.eps_admm, dt)
-    eps_x = eps_admm + ulp * jnp.maximum(inf_norm(x), 1.0)
-    eps_z = eps_admm + ulp * jnp.maximum(inf_norm(z), 1.0)
-    admm_fp = (inf_norm(x - xp) <= eps_x) & (inf_norm(z - zp) <= eps_z)
+    eps_x = eps_admm + ulp * jnp.maximum(inf_norm(unsc_x(x)), 1.0)
+    eps_z = eps_admm + ulp * jnp.maximum(inf_norm(unsc_p(z)), 1.0)
+    admm_fp = (inf_norm(unsc_x(x - xp)) <= eps_x) & (inf_norm(unsc_p(z - zp)) <= eps_z)
 
     status = state.status
     status = jnp.where(active & solved, Status.SOLVED, status)
     status = jnp.where(active & admm_fp, Status.SOLVED_ADMM, status)  # jl:105-107 precedence
     if settings.check_infeasibility:
+        # (Certificates are evaluated in the solve space — scaled when Ruiz
+        # scaling is on. Infeasibility is invariant under diagonal scaling,
+        # so a certificate for the scaled problem certifies the original;
+        # only the detection thresholds see scaled magnitudes.)
         # Per-chunk iterate differences serve as certificate candidates. A
         # certificate outranks the x/z fixed-point flag: on infeasible
         # problems x and z stall exactly while y diverges, which the
@@ -342,9 +365,14 @@ def _solve_impl(qp: QP, settings: Settings, x0, z0=None, y0=None, rho0=None) -> 
 
         qp_s, scal = equilibrate(qp, settings.scaling_iters)
         xs, zs, ys = scale_iterates(scal, x0, z0, y0)
-        sol = _solve_core(qp_s, settings, xs, zs, ys, rho0)
+        # Termination tests inside the loop run on UNSCALED residuals
+        # (term_scale maps them back) — OSQP's own discipline, so a lane
+        # reports SOLVED only when the original problem's residuals pass eps.
+        sol = _solve_core(qp_s, settings, xs, zs, ys, rho0, term_scale=scal)
         x, z, y = unscale_iterates(scal, sol.x, sol.z, sol.y)
-        # Report unscaled residuals/objective (termination ran scaled).
+        # Recompute residuals/objective at the final unscaled iterates (the
+        # in-loop values already are unscaled; this re-evaluates after the
+        # f-p unscale rounding and any polish).
         Ax = qp.matvec_A(x)
         res_prim = inf_norm(Ax - z)
         res_dual = inf_norm(qp.matvec_P(x) + qp.q + qp.matvec_At(y))
@@ -356,7 +384,8 @@ def _solve_impl(qp: QP, settings: Settings, x0, z0=None, y0=None, rho0=None) -> 
     return _solve_core(qp, settings, x0, z0, y0, rho0)
 
 
-def _solve_core(qp: QP, settings: Settings, x0, z0=None, y0=None, rho0=None) -> Solution:
+def _solve_core(qp: QP, settings: Settings, x0, z0=None, y0=None, rho0=None,
+                term_scale=None) -> Solution:
     backend = kkt_mod.get_backend(settings.kkt_backend, qp)
     state = _init_state(qp, settings, x0, backend, z0, y0, rho0)
     max_chunks = settings.num_checks
@@ -373,7 +402,7 @@ def _solve_core(qp: QP, settings: Settings, x0, z0=None, y0=None, rho0=None) -> 
             status=st.status, iterations=st.iterations, res_prim=st.res_prim,
             res_dual=st.res_dual, iteration=st.iteration, kkt_cache=cache,
             history=st.history)
-        return _check_convergence(qp, settings, st, x, z, y, xp, zp)
+        return _check_convergence(qp, settings, st, x, z, y, xp, zp, term_scale)
 
     state = jax.lax.while_loop(cond, body, state)
 
@@ -416,7 +445,16 @@ def solve_segmented(qp: QP, settings: Settings = Settings(),
     final segment; lanes that converged in an earlier segment re-verify on
     re-entry, so their counts are accurate to within one check interval per
     extra segment.
+
+    ``record_history`` is rejected here: each segment allocates its own
+    per-segment trace buffers, so a returned history would silently cover
+    only the final segment while ``iterations`` is cumulative.
     """
+    if settings.record_history:
+        raise ValueError(
+            "record_history is not supported in solve_segmented (history "
+            "buffers are per-segment); use solve() or capture per-segment "
+            "Solutions yourself")
     seg = -(-segment_iterations // settings.check_interval) * settings.check_interval
     total = settings.num_checks * settings.check_interval
     done_iters = 0

@@ -178,11 +178,17 @@ def kkt_optimality(P, q, A, l, u, x, z=None, y=None) -> KKTReport:
     res_dual = _inf_norm(P @ x + q + A.T @ y)
     y_pos = np.maximum(y, 0.0)
     y_neg = np.minimum(y, 0.0)
-    gap_u = np.where(np.isfinite(u), u - Ax, np.inf)
-    gap_l = np.where(np.isfinite(l), Ax - l, np.inf)
+    # On infinite-bound rows the dual must simply have the right sign; a
+    # wrong-sign dual there is a sign violation measured by |y| itself
+    # (multiplying by a huge gap surrogate would blow tiny f32 noise up to
+    # ~1e21 and fail optimal(eps) spuriously).
+    gap_u = np.where(np.isfinite(u), u - Ax, 0.0)   # 0 avoids 0*inf=nan
+    gap_l = np.where(np.isfinite(l), Ax - l, 0.0)
+    comp_u = np.where(np.isfinite(u), y_pos * gap_u, y_pos)
+    comp_l = np.where(np.isfinite(l), -y_neg * gap_l, -y_neg)
     comp = max(
-        _inf_norm(np.where(y_pos > 0, y_pos * np.minimum(gap_u, 1e30), 0.0)),
-        _inf_norm(np.where(y_neg < 0, -y_neg * np.minimum(gap_l, 1e30), 0.0)),
+        _inf_norm(np.where(y_pos > 0, comp_u, 0.0)),
+        _inf_norm(np.where(y_neg < 0, comp_l, 0.0)),
     )
     res_z = _inf_norm(Ax - z) if z is not None else np.inf
     return KKTReport(res_prim, res_dual, comp, res_z)

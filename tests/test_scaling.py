@@ -93,3 +93,24 @@ def test_scaling_unscaled_reporting():
     assert np.isclose(float(sol.info.res_dual), rd, rtol=1e-6, atol=1e-12)
     obj = 0.5 * x @ P @ x + q @ x
     assert np.isclose(float(sol.info.objective), obj, rtol=1e-9)
+
+
+def test_scaled_termination_is_unscaled():
+    """Weak-#6 regression: with scaling on, a lane may report SOLVED only if
+    the ORIGINAL problem's residuals pass the eps tests (OSQP discipline —
+    termination maps residuals back through D, E, c inside the loop)."""
+    P, q, A, l, u = _badly_scaled_qp(seed=5, spread=4.0)
+    qp = qps.make_qp(P, q, A, l, u, dtype=np.float64)
+    eps = 1e-7
+    st = qps.Settings(max_iterations=50_000, eps_abs=eps, eps_rel=eps, rho=0.1,
+                      adaptive_rho=True, scaling_iters=10)
+    sol = qps.solve_jit(qp, st)
+    assert int(sol.info.status) == int(qps.Status.SOLVED)
+    x, z, y = (np.asarray(v) for v in (sol.x, sol.z, sol.y))
+    Ax = A @ x
+    rp = np.abs(Ax - z).max()
+    rd = np.abs(P @ x + q + A.T @ y).max()
+    max_prim = max(np.abs(Ax).max(), np.abs(z).max())
+    max_dual = max(np.abs(P @ x).max(), np.abs(A.T @ y).max(), np.abs(q).max())
+    assert rp <= eps + eps * max_prim, (rp, max_prim)
+    assert rd <= eps + eps * max_dual, (rd, max_dual)
