@@ -44,7 +44,8 @@ def main(argv=None):
     def sync(x):
         return float(np.asarray(jax.tree.leaves(x)[0].ravel()[0]))
 
-    backends = [KKTBackendKind.CHOLESKY, KKTBackendKind.KKT_LDL, KKTBackendKind.CG]
+    backends = [KKTBackendKind.CHOLESKY, KKTBackendKind.KKT_LDL,
+                KKTBackendKind.CG, KKTBackendKind.KKT_MINRES]
 
     # Correctness check of each backend's KKT solve vs a dense solve
     # (LinearSystemSolversFunBenchmark.jl:100-107).
@@ -102,6 +103,40 @@ def main(argv=None):
             except Exception as e:  # pragma: no cover
                 print(f"{kind.value:>10} {n:>5}: failed ({type(e).__name__}: {e})",
                       file=sys.stderr)
+
+    # CG-vs-MINRES crossover on the ill-conditioned families (VERDICT #4:
+    # CG squares the KKT condition number; MINRES does not). Runs both
+    # iterative backends at a tight inner tolerance and reports solve time
+    # and outer-iteration medians per family.
+    print(f"\nill-conditioned crossover (B={args.batch}, n={args.sizes[-1]}):")
+    print(f"{'family':>12} {'backend':>11} {'best_ms':>9} {'p50 iters':>9} "
+          f"{'solved':>7}")
+    for family in (qps.ProblemClass.PORTFOLIO, qps.ProblemClass.HUBER,
+                   qps.ProblemClass.RANDOM_QP):
+        fleet = qps.generate_batch(family, args.batch, args.sizes[-1],
+                                   seed=1234, dtype=np.float32)
+        for kind in (KKTBackendKind.CG, KKTBackendKind.KKT_MINRES):
+            st = qps.Settings(max_iterations=4000, eps_abs=args.eps,
+                              eps_rel=args.eps, rho=0.1, adaptive_rho=True,
+                              cg_max_iterations=500, kkt_backend=kind)
+            try:
+                sol = qps.solve_jit(fleet, st)
+                sync(sol.x)
+                times = []
+                for _ in range(args.samples):
+                    t0 = time.perf_counter()
+                    sol = qps.solve_jit(fleet, st)
+                    sync(sol.x)
+                    times.append(time.perf_counter() - t0)
+                status = np.asarray(sol.info.status)
+                iters = np.asarray(sol.info.iterations)
+                solved = int((status >= 2).sum())
+                print(f"{family.name:>12} {kind.value:>11} "
+                      f"{min(times)*1e3:>9.1f} {np.median(iters):>9.0f} "
+                      f"{solved}/{args.batch}")
+            except Exception as e:  # pragma: no cover
+                print(f"{family.name:>12} {kind.value:>11}: failed "
+                      f"({type(e).__name__}: {e})", file=sys.stderr)
     return 0
 
 

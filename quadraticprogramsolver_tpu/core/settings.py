@@ -35,6 +35,13 @@ class KKTBackendKind(enum.Enum):
     KKT_LDL = "kkt_ldl"
     #: Matrix-free conjugate gradient on the normal matrix (large problems).
     CG = "cg"
+    #: Batched preconditioned MINRES on the quasi-definite 2x2 KKT system —
+    #: the iterative option that does NOT square the condition number
+    #: (re-imagines the reference's TriCG/TriMR exploration,
+    #: `LinearSystemSolversFun.jl:191-234`). Works for dense and sparse QPs;
+    #: the dense preconditioner (P+sigma*I)^{-1} is rho-independent, so
+    #: adaptive-rho refactor events are free.
+    KKT_MINRES = "kkt_minres"
 
 
 # Auto-switch thresholds, as in the reference (`SolveQuadraticProgram.m:126-128`).

@@ -225,6 +225,146 @@ def kkt_ldl_solve(cache, qp: QP, x, z, y, rho, settings: Settings):
 
 
 # --------------------------------------------------------------------------
+# Quasi-definite MINRES backend (iterative path on the 2x2 KKT)
+# --------------------------------------------------------------------------
+#
+# The CG backend iterates on the normal matrix P + sigma*I + rho*A'A, whose
+# condition number is the SQUARE of the KKT system's — on ill-conditioned
+# families (portfolio, huber) the iteration count explodes. The reference
+# explores exactly this alternative: Krylov methods on the indefinite-but-
+# symmetric quasi-definite KKT with a block preconditioner built from
+# P + sigma*I (`/root/reference/LinearSystemSolversFun.jl:191-234`, TriCG /
+# TriMR with opCholesky(P+sigma*I)). TPU re-design: batched MINRES under
+# `lax.while_loop` with per-lane masking, preconditioned by the SPD
+# block-diagonal [ (P+sigma*I)^{-1}, diag(rho_row) ].
+#
+# The dense preconditioner caches (P+sigma*I)^{-1} once: it is
+# rho-INDEPENDENT, so adaptive-rho refactor events are free (vs the Cholesky
+# backend's full rebuild). Sparse problems use the Jacobi diagonal instead.
+
+
+def kkt_minres_init(qp, rho, sigma, settings: Settings):
+    batch = qp.batch_shape
+    cache = {"v": jnp.zeros(batch + (qp.n + qp.m,), qp.dtype)}
+    if qp.is_dense:
+        cache["P_inv"] = spd_inverse(add_scaled_identity(sym(qp.P), sigma))
+        if qp.P.ndim == 2 and batch:
+            cache["P_inv"] = jnp.broadcast_to(
+                cache["P_inv"], batch + (qp.n, qp.n))
+    else:
+        cache["d1_inv"] = 1.0 / (qp.diag_P() + sigma)
+    return cache
+
+
+def kkt_minres_refactor(cache, qp, rho, sigma, settings: Settings):
+    # The preconditioner depends only on P and sigma — rho drift is free.
+    return cache
+
+
+def _kkt_precond(cache, qp, rho_row):
+    """Apply the SPD block-diagonal preconditioner inverse."""
+    n = qp.n
+
+    def apply(v):
+        v1, v2 = v[..., :n], v[..., n:]
+        if "P_inv" in cache:
+            u1 = matvec(cache["P_inv"], v1)
+        else:
+            u1 = cache["d1_inv"] * v1
+        return jnp.concatenate([u1, rho_row * v2], axis=-1)
+
+    return apply
+
+
+def kkt_minres_solve(cache, qp, x, z, y, rho, settings: Settings):
+    sigma = jnp.asarray(settings.sigma, qp.dtype)
+    rho_row = rho_rows(qp, rho, settings)
+    rhs = jnp.concatenate([sigma * x - qp.q, z - y / rho_row], axis=-1)
+    v = _minres(
+        lambda w: _ldl_apply_kkt(qp, rho_row, sigma, w),
+        _kkt_precond(cache, qp, rho_row),
+        rhs,
+        cache["v"],
+        abs_tol=settings.cg_eps,
+        max_iterations=settings.cg_max_iterations,
+    )
+    xx = v[..., : qp.n]
+    zz = z + (v[..., qp.n:] - y) / rho_row
+    return xx, zz, {**cache, "v": v}
+
+
+def _minres(apply_K, precond, b, x0, abs_tol: float, max_iterations: int):
+    """Batched preconditioned MINRES (Paige & Saunders) with lane masking.
+
+    Solves K v = b for symmetric (indefinite) K with SPD preconditioner M;
+    ``phibar`` tracks the M^{-1}-norm of the residual, and lanes stop when it
+    falls under max(abs_tol, 10 ulp of ||b||) — the same floor as `_pcg` so
+    f32 lanes terminate. Lanczos breakdown (beta -> 0: exact solution found)
+    also stops the lane; all divisions are guarded so frozen lanes stay
+    finite.
+    """
+    dtype = b.dtype
+    eps = jnp.finfo(dtype).eps
+    tol = jnp.maximum(jnp.asarray(abs_tol, dtype),
+                      10 * eps * jnp.linalg.norm(b, axis=-1))
+
+    r1 = b - apply_K(x0)
+    y0 = precond(r1)
+    beta1 = jnp.sqrt(jnp.maximum(jnp.sum(r1 * y0, axis=-1), 0.0))
+    zeros_like_b = jnp.zeros_like(b)
+
+    def guard(d):
+        return jnp.where(d == 0, 1.0, d)
+
+    # carry: it, x, r1, r2, y, oldb, beta, dbar, epsln, phibar, cs, sn,
+    #        w, w2, done
+    init = (jnp.zeros((), jnp.int32), x0, r1, r1, y0,
+            jnp.zeros_like(beta1), beta1,
+            jnp.zeros_like(beta1), jnp.zeros_like(beta1), beta1,
+            -jnp.ones_like(beta1), jnp.zeros_like(beta1),
+            zeros_like_b, zeros_like_b,
+            beta1 <= tol)
+
+    def cond(c):
+        return (c[0] < max_iterations) & ~jnp.all(c[-1])
+
+    def body(c):
+        (it, xk, r1k, r2k, yk, oldb, beta, dbar, epsln, phibar,
+         cs, sn, w, w2, done) = c
+        v = yk / guard(beta)[..., None]
+        yn = apply_K(v)
+        coef = jnp.where(it >= 1, beta / guard(oldb), 0.0)
+        yn = yn - coef[..., None] * r1k
+        alfa = jnp.sum(v * yn, axis=-1)
+        yn = yn - (alfa / guard(beta))[..., None] * r2k
+        r1n, r2n = r2k, yn
+        yn = precond(r2n)
+        oldb_n = beta
+        beta_n = jnp.sqrt(jnp.maximum(jnp.sum(r2n * yn, axis=-1), 0.0))
+        oldeps = epsln
+        delta = cs * dbar + sn * alfa
+        gbar = sn * dbar - cs * alfa
+        epsln_n = sn * beta_n
+        dbar_n = -cs * beta_n
+        gamma = jnp.maximum(jnp.sqrt(gbar**2 + beta_n**2), eps)
+        cs_n = gbar / gamma
+        sn_n = beta_n / gamma
+        phi = cs_n * phibar
+        phibar_n = sn_n * phibar
+        w1 = w2
+        w2_n = w
+        w_n = (v - oldeps[..., None] * w1 - delta[..., None] * w2_n) \
+            / gamma[..., None]
+        xk = xk + jnp.where(done, 0.0, phi)[..., None] * w_n
+        done_n = done | (phibar_n <= tol) | (beta_n <= eps * beta1)
+        return (it + 1, xk, r1n, r2n, yn, oldb_n, beta_n, dbar_n, epsln_n,
+                phibar_n, cs_n, sn_n, w_n, w2_n, done_n)
+
+    out = jax.lax.while_loop(cond, body, init)
+    return out[1]
+
+
+# --------------------------------------------------------------------------
 # Matrix-free PCG backend (iterative path)
 # --------------------------------------------------------------------------
 
@@ -323,6 +463,8 @@ BACKENDS = {
     KKTBackendKind.CHOLESKY: Backend(cholesky_init, cholesky_refactor, cholesky_solve),
     KKTBackendKind.KKT_LDL: Backend(kkt_ldl_init, kkt_ldl_refactor, kkt_ldl_solve),
     KKTBackendKind.CG: Backend(cg_init, cg_refactor, cg_solve),
+    KKTBackendKind.KKT_MINRES: Backend(
+        kkt_minres_init, kkt_minres_refactor, kkt_minres_solve),
 }
 
 

@@ -74,12 +74,26 @@ def spd_inverse(M: jax.Array) -> jax.Array:
     calling ldiv! per iteration (LinearSystemSolvers.jl:30-44). Combined with
     iterative refinement this recovers direct-solve accuracy.
 
-    Computed by recursive 2x2-block Schur-complement inversion
-    (:func:`spd_inverse_blocked`): XLA's batched Cholesky on TPU runs a
-    sequential panel loop at ~1% MXU utilization (measured 122 ms for
-    512x512x512 f32), while the Schur recursion is entirely batched matmuls
-    (~10x faster). Unpivoted block elimination is numerically fine for SPD.
+    Dispatch (static, at trace time):
+    * TPU + f32 + n a multiple of 128 + flat batch >= 4: the flat blocked
+      Gauss-Jordan sweep with the multi-lane Pallas pivot kernel
+      (:func:`~..ops.spd_kernels.spd_inverse_sweep_fused`) — measured 151 ms
+      vs 235 ms for the recursion at (2048, 512, 512) f32.
+    * otherwise: recursive 2x2-block Schur-complement inversion
+      (:func:`spd_inverse_blocked`). XLA's batched Cholesky on TPU runs a
+      sequential panel loop at ~1% MXU utilization (measured 122 ms for
+      512x512x512 f32), while the Schur recursion is entirely batched
+      matmuls (~10x faster). Unpivoted block elimination is numerically fine
+      for SPD.
     """
+    import math
+
+    batch = int(math.prod(M.shape[:-2]))
+    if (jax.default_backend() == "tpu" and M.dtype == jnp.float32
+            and M.shape[-1] % 128 == 0 and batch >= 4):
+        from .spd_kernels import spd_inverse_sweep_fused
+
+        return spd_inverse_sweep_fused(M)
     return spd_inverse_blocked(M)
 
 
@@ -94,7 +108,7 @@ def _spd_inverse_cholesky(M: jax.Array) -> jax.Array:
     return sym(inv)
 
 
-def spd_inverse_blocked(M: jax.Array) -> jax.Array:
+def spd_inverse_blocked(M: jax.Array, split: bool = False) -> jax.Array:
     """Recursive blocked SPD inverse: with M = [[A, B'], [B, C]],
 
         S = C - B A^{-1} B'          (SPD Schur complement)

@@ -177,6 +177,185 @@ def spd_inverse_sweep(M, pivot_inverse=None):
     return -W
 
 
+# --------------------------------------------------------------------------
+# Round-2 pivot kernel: fully-unrolled multi-lane symmetric sweep
+# --------------------------------------------------------------------------
+#
+# The round-1 kernels above lose to XLA because their fori_loop formulation
+# forces dynamic row/col extraction through masks and one-hot matmuls (0.5-1
+# us per step). Unrolling the NB scalar steps makes every slice STATIC, and
+# the Gauss-Jordan sweep preserves symmetry at every step (with the swept
+# diagonal negated), so the pivot column is one width-1 lane slice and the
+# pivot rows are L cheap (1, NB) sublane slices — no masks, no dots, no
+# transposes. Lanes are stacked along sublanes ((L*NB, NB), lane g at rows
+# [g*NB, (g+1)*NB)) so each step's rank-1 update is one fused VPU pass over
+# all L lanes.
+
+
+def _pivot_sweep_unrolled_kernel(S_ref, out_ref, W, *, lanes: int, nb: int):
+    # W is a VMEM scratch working buffer: read-modify-write chains on out_ref
+    # itself produce wrong results when grid == 1 (observed in interpret
+    # mode — the output block does not reliably round-trip between the
+    # unrolled steps), and scratch is the guide's idiom for in-place work.
+    f32 = jnp.float32
+    L = lanes
+    W[:] = S_ref[:]
+    # e_j as a row one-hot, built once per j from a static iota compare.
+    lane_idx = jax.lax.broadcasted_iota(jnp.int32, (1, nb), 1)
+    for j in range(nb):
+        e_j = (lane_idx == j).astype(f32)                  # (1, nb)
+        Cd = W[:, j:j + 1]                                 # (L*nb, 1) column j
+        for g in range(L):
+            r = W[g * nb + j:g * nb + j + 1, :]            # (1, nb) pivot row
+            dinv = 1.0 / r[0, j]
+            # Rank-1 update with the column-fix folded in: subtracting e_j
+            # from the (scaled) row makes the post-update column j equal
+            # C*dinv directly (no separate width-1 lane store needed).
+            blk = slice(g * nb, (g + 1) * nb)
+            W[blk, :] = W[blk, :] - (Cd[blk] * dinv) * (r - e_j)
+            W[g * nb + j:g * nb + j + 1, :] = r * dinv
+            W[g * nb + j:g * nb + j + 1, j:j + 1] = jnp.full((1, 1), -dinv, f32)
+    out_ref[:] = -W[:]
+
+
+def _pivot_sweep_value_kernel(S_ref, out_ref, *, lanes: int, nb: int):
+    """Value-based variant: one fused rank-1 update per step, no per-block
+    ref round-trips. Folding the row fix into the outer product via
+    a = (C - e_col_j) * dinv makes row j come out as dinv*r directly; the
+    only residue is a constant +2 at each block diagonal (j, j), fixed once
+    at the end (later steps never read their own (j, j))."""
+    f32 = jnp.float32
+    L = lanes
+    W = S_ref[:]
+    lane_idx = jax.lax.broadcasted_iota(jnp.int32, (1, nb), 1)
+    sub_idx = jax.lax.broadcasted_iota(jnp.int32, (L * nb, 1), 0) % nb
+    diag_mask = (jnp.broadcast_to(sub_idx, (L * nb, nb))
+                 == jnp.broadcast_to(lane_idx, (L * nb, nb))).astype(f32)
+    # Jacobi pre-scaling to unit diagonal: without it the folded row-fix
+    # computes row j as dinv*r via cancellation of O(diag^2) products and
+    # loses ~3 digits when the diagonal is large. With unit diagonal every
+    # intermediate is O(1). Row scale from a lane-reduce, per-block column
+    # scale from sublane-reduces — no transposes.
+    Wd = W * diag_mask
+    s_col = jax.lax.rsqrt(jnp.sum(Wd, axis=1, keepdims=True))      # (L*nb, 1)
+    s_row = jnp.concatenate(
+        [jnp.broadcast_to(
+            jax.lax.rsqrt(jnp.sum(Wd[g * nb:(g + 1) * nb, :], axis=0,
+                                  keepdims=True)), (nb, nb))
+         for g in range(L)], axis=0)                               # (L*nb, nb)
+    W = W * s_col * s_row
+    for j in range(nb):
+        e_row = (lane_idx == j).astype(f32)          # (1, nb)
+        e_col = (sub_idx == j).astype(f32)           # (L*nb, 1)
+        rs = [W[g * nb + j:g * nb + j + 1, :] for g in range(L)]
+        dinv_col = jnp.concatenate(
+            [jnp.full((nb, 1), 1.0 / rs[g][0, j], f32) for g in range(L)], axis=0)
+        a = (W[:, j:j + 1] - e_col) * dinv_col
+        R = jnp.concatenate(
+            [jnp.broadcast_to(rs[g], (nb, nb)) for g in range(L)], axis=0)
+        W = W - a * (R - e_row)
+    # inv(D) = S inv(Dn) S with S = diag(s): same scales on the way out.
+    out_ref[:] = (2.0 * diag_mask - W) * s_col * s_row
+
+
+@functools.partial(jax.jit, static_argnames=("lanes", "variant", "interpret"))
+def pallas_spd_inverse_unrolled(D, *, lanes: int = 8, variant: str = "ref",
+                                interpret: bool = False):
+    """Batched (B, nb, nb) SPD inverse via the unrolled multi-lane sweep.
+
+    nb must be a multiple of 128 (lane width); typically 128. Leading axes
+    are all treated as batch (flattened internally). Returns f32.
+    """
+    batch_shape, nb = D.shape[:-2], D.shape[-1]
+    if D.shape[-2] != nb or nb % 128:
+        raise ValueError(f"blocks must be (nb, nb) with nb % 128 == 0; got {D.shape}")
+    B = 1
+    for s in batch_shape:
+        B *= s
+    D = D.reshape((B, nb, nb))
+    if B < 4:
+        # Small batches don't amortize the kernel (and grid=1 pallas
+        # interpret runs showed output-corruption anomalies); use the XLA
+        # path.
+        from .linalg import _spd_inverse_cholesky
+        return _spd_inverse_cholesky(D.astype(jnp.float32)).reshape(
+            batch_shape + (nb, nb))
+    L = lanes
+    # Keep grid >= 2: grid=1 interpret-mode runs returned corrupted lane-0
+    # blocks for some inputs (root cause in the pallas interpreter's block
+    # round-tripping, not the kernel — the identical unjitted call is
+    # correct). A 2+ grid also overlaps DMA with compute.
+    while B % L or B // L < 2:
+        L //= 2
+    f32 = jnp.float32
+    flat = D.astype(f32).reshape(B * nb, nb)
+    if variant == "value":
+        kernel = functools.partial(_pivot_sweep_value_kernel, lanes=L, nb=nb)
+        scratch = []
+    else:
+        kernel = functools.partial(_pivot_sweep_unrolled_kernel, lanes=L, nb=nb)
+        scratch = [pltpu.VMEM((L * nb, nb), f32)]
+    out = pl.pallas_call(
+        kernel,
+        grid=(B // L,),
+        in_specs=[pl.BlockSpec((L * nb, nb), lambda b: (b, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((L * nb, nb), lambda b: (b, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B * nb, nb), f32),
+        scratch_shapes=scratch,
+        interpret=interpret,
+    )(flat)
+    return out.reshape(batch_shape + (nb, nb))
+
+
+def spd_inverse_sweep_fused(M, pivot_inverse=None, nb: int = 128):
+    """Flat blocked sweep with a ONE-matmul fused update per pivot block.
+
+    The naive flat sweep (spd_inverse_sweep above) spends most of its time in
+    three `.at[].set` full-array copies per step. This version assembles each
+    step's result in ONE fused elementwise pass: the rank-nb update
+    W - (C Dinv) R for the out-of-block entries, with the block row/col/diag
+    (Dinv R, C Dinv, -Dinv) selected in via padded `where` branches that XLA
+    fuses into the matmul epilogue. Every output entry comes from exactly one
+    branch — no large-term cancellation (a boundary-modified single-matmul
+    formulation was tried and loses ~2 f32 digits to cancellation on the
+    swept row/col entries).
+    """
+    n = M.shape[-1]
+    if pivot_inverse is None:
+        pivot_inverse = pallas_spd_inverse_unrolled
+    if n % nb:
+        raise ValueError(f"n must be a multiple of {nb}; got {n}")
+    dt = M.dtype
+    idx = jnp.arange(n)
+    W = M
+    for k in range(n // nb):
+        s = slice(k * nb, (k + 1) * nb)
+        in_k = (idx >= k * nb) & (idx < (k + 1) * nb)
+        row_m = in_k[:, None]            # (n, 1) -> broadcast over cols
+        col_m = in_k[None, :]            # (1, n) -> broadcast over rows
+        D = W[..., s, s]
+        Dinv = pivot_inverse(D).astype(dt)
+        C = W[..., :, s]                 # (B, n, nb)
+        R = W[..., s, :]                 # (B, nb, n)
+        CDinv = jnp.einsum("...ij,...jk->...ik", C, Dinv)
+        DinvR = jnp.einsum("...ij,...jk->...ik", Dinv, R)
+        upd = W - jnp.einsum("...ij,...jk->...ik", CDinv, R)
+        # Padded-select assembly: XLA fuses the pads+wheres into the matmul
+        # epilogue (a concatenate-based assembly was measured slower — the
+        # concats materialize copies).
+        pad_c = [(0, 0)] * (W.ndim - 2) + [(0, 0), (k * nb, n - (k + 1) * nb)]
+        pad_r = [(0, 0)] * (W.ndim - 2) + [(k * nb, n - (k + 1) * nb), (0, 0)]
+        pad_d = [(0, 0)] * (W.ndim - 2) + [(k * nb, n - (k + 1) * nb),
+                                           (k * nb, n - (k + 1) * nb)]
+        W = jnp.where(
+            row_m & col_m, jnp.pad(-Dinv, pad_d),
+            jnp.where(col_m, jnp.pad(CDinv, pad_c),
+                      jnp.where(row_m, jnp.pad(DinvR, pad_r), upd)))
+    return -W
+
+
 def _normal_inverse_kernel(rho_ref, P_ref, A_ref, out_ref, W_ref,
                            *, sigma: float, n: int, m: int):
     f32 = jnp.float32

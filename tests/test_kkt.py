@@ -36,7 +36,7 @@ def _reference_kkt_solve(data, x, z, y, rho, sigma):
 
 
 @pytest.mark.parametrize("kind", [KKTBackendKind.CHOLESKY, KKTBackendKind.KKT_LDL,
-                                  KKTBackendKind.CG])
+                                  KKTBackendKind.CG, KKTBackendKind.KKT_MINRES])
 def test_backend_matches_dense_solve(kind):
     data, qp = _random_qp()
     st = qps.Settings(kkt_backend=kind, cg_eps=1e-12, cg_max_iterations=2000,
@@ -156,7 +156,7 @@ def test_per_constraint_rho_equality_weighting():
 
 
 @pytest.mark.parametrize("kind", [KKTBackendKind.CHOLESKY, KKTBackendKind.KKT_LDL,
-                                  KKTBackendKind.CG])
+                                  KKTBackendKind.CG, KKTBackendKind.KKT_MINRES])
 def test_per_constraint_rho_backends_agree(kind):
     # All backends must implement the weighted KKT system identically.
     data = generate_random_qp(ProblemClass.RANDOM_QP, 20, seed=4)
@@ -169,3 +169,19 @@ def test_per_constraint_rho_backends_agree(kind):
                              eps_abs=1e-10, eps_rel=1e-10, rho=0.1)
     assert ref.status == 3
     assert np.abs(np.asarray(sol.x) - ref.x).max() <= 1e-6, kind
+
+
+def test_minres_backend_sparse_full_solve():
+    # MINRES is the iterative backend that also accepts SparseQP (the CG
+    # alternative on the quasi-definite KKT, LinearSystemSolversFun.jl:191-234).
+    data = generate_random_qp(ProblemClass.RANDOM_QP, 100, seed=2)
+    ref = solve_qp_reference(data.P, data.q, data.A, data.l, data.u,
+                             eps_abs=1e-9, eps_rel=1e-9, rho=0.1)
+    assert ref.status == 3
+    sqp = make_sparse_qp(data.P, data.q, data.A, data.l, data.u, dtype=np.float64)
+    st = qps.Settings(max_iterations=20_000, eps_abs=1e-7, eps_rel=1e-7, rho=0.1,
+                      adaptive_rho=True, cg_eps=1e-10, cg_max_iterations=1000,
+                      kkt_backend=KKTBackendKind.KKT_MINRES)
+    sol = qps.solve_jit(sqp, st)
+    assert int(sol.info.status) >= qps.Status.SOLVED_ADMM
+    assert np.abs(np.asarray(sol.x) - ref.x).max() <= 1e-5

@@ -46,3 +46,21 @@ def test_inf_norm_empty():
     import jax.numpy as jnp
 
     assert float(linalg.inf_norm(jnp.zeros((3, 0)))[0]) == 0.0
+
+
+def test_spd_inverse_blocked_accuracy():
+    """Blocked-Schur inverse: refinement-recoverable f32 error."""
+    import jax.numpy as jnp
+    from quadraticprogramsolver_tpu.ops.linalg import spd_inverse
+
+    rng = np.random.default_rng(1)
+    n = 256
+    W = rng.standard_normal((2, n, n)).astype(np.float32)
+    M = np.einsum("bki,bkj->bij", W, W) + n * np.eye(n, dtype=np.float32)
+    exact = np.linalg.inv(np.asarray(M, np.float64))
+    got = np.asarray(spd_inverse(jnp.asarray(M)))
+    rel = np.abs(got - exact).max() / np.abs(exact).max()
+    assert rel < 1e-4, rel
+    # One refinement step contracts the residual: ||I - got@M|| must be << 1.
+    resid = np.abs(np.eye(n) - got @ np.asarray(M, np.float64)).max()
+    assert resid < 1e-2, resid

@@ -39,3 +39,40 @@ def test_fused_normal_inverse_per_lane_rho():
     for b, r in enumerate([0.1, 1.0, 10.0]):
         M = P[b].astype(np.float64) + 1e-6 * np.eye(n) + r * A[b].T.astype(np.float64) @ A[b]
         assert np.abs(Minv[b] @ M - np.eye(n)).max() <= 5e-5
+
+
+def test_pivot_sweep_unrolled_variants():
+    """Round-2 multi-lane pivot kernel: both variants vs f64 inverse."""
+    from quadraticprogramsolver_tpu.ops.spd_kernels import (
+        pallas_spd_inverse_unrolled)
+
+    rng = np.random.default_rng(2)
+    B, nb = 8, 128
+    W = rng.standard_normal((B, nb, nb)).astype(np.float32)
+    D = np.einsum("bki,bkj->bij", W, W).astype(np.float32) + nb * np.eye(
+        nb, dtype=np.float32)
+    exact = np.linalg.inv(np.asarray(D, np.float64))
+    for variant, tol in (("ref", 1e-5), ("value", 5e-6)):
+        got = np.asarray(pallas_spd_inverse_unrolled(
+            jnp.asarray(D), variant=variant, interpret=True))
+        rel = np.abs(got - exact).max() / np.abs(exact).max()
+        assert rel < tol, (variant, rel)
+
+
+def test_spd_inverse_sweep_fused():
+    """Flat fused sweep (Pallas pivots + one-matmul updates) vs f64 inverse."""
+    import functools
+
+    from quadraticprogramsolver_tpu.ops.spd_kernels import (
+        pallas_spd_inverse_unrolled, spd_inverse_sweep_fused)
+
+    rng = np.random.default_rng(3)
+    B, n = 4, 256
+    W = rng.standard_normal((B, n, n)).astype(np.float32)
+    M = np.einsum("bki,bkj->bij", W, W).astype(np.float32) + n * np.eye(
+        n, dtype=np.float32)
+    exact = np.linalg.inv(np.asarray(M, np.float64))
+    piv = functools.partial(pallas_spd_inverse_unrolled, interpret=True)
+    got = np.asarray(spd_inverse_sweep_fused(jnp.asarray(M), pivot_inverse=piv))
+    rel = np.abs(got - exact).max() / np.abs(exact).max()
+    assert rel < 2e-5, rel
