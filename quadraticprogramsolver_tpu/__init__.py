@@ -10,7 +10,9 @@ from .core.problem import (
     QP, ProxQPProblem, make_proxqp, make_qp, pad_qp, stack_qps, validate_qp,
 )
 from .core.settings import KKTBackendKind, ProxQPSettings, Settings
-from .core.sparse_problem import SparseQP, make_sparse_qp
+from .core.sparse_problem import (
+    SparseProxQP, SparseQP, make_sparse_proxqp, make_sparse_qp,
+)
 from .core.state import SolveInfo, Solution, Status
 from .models.admm import solve, solve_jit
 from .models.proxqp import ProxQPSolution, solve as solve_proxqp
@@ -22,9 +24,11 @@ __version__ = "0.1.0"
 __all__ = [
     "QP",
     "ProxQPProblem",
+    "SparseProxQP",
     "SparseQP",
     "make_qp",
     "make_proxqp",
+    "make_sparse_proxqp",
     "make_sparse_qp",
     "pad_qp",
     "stack_qps",

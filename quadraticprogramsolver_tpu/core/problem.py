@@ -217,6 +217,40 @@ class ProxQPProblem:
     def batch_shape(self) -> tuple[int, ...]:
         return self.q.shape[:-1]
 
+    @property
+    def dtype(self):
+        return self.q.dtype
+
+    @property
+    def is_dense(self) -> bool:
+        return True
+
+    # -- operator protocol (same contract as SparseProxQP) --
+
+    def matvec_P(self, v: jax.Array) -> jax.Array:
+        return jnp.einsum("...ij,...j->...i", self.P, v)
+
+    def matvec_A(self, v: jax.Array) -> jax.Array:
+        return jnp.einsum("...ij,...j->...i", self.A, v)
+
+    def matvec_At(self, w: jax.Array) -> jax.Array:
+        return jnp.einsum("...ji,...j->...i", self.A, w)
+
+    def matvec_C(self, v: jax.Array) -> jax.Array:
+        return jnp.einsum("...ij,...j->...i", self.C, v)
+
+    def matvec_Ct(self, w: jax.Array) -> jax.Array:
+        return jnp.einsum("...ji,...j->...i", self.C, w)
+
+    def diag_P(self) -> jax.Array:
+        return jnp.diagonal(self.P, axis1=-2, axis2=-1)
+
+    def diag_AtA(self) -> jax.Array:
+        return jnp.sum(self.A * self.A, axis=-2)
+
+    def diag_CtC(self) -> jax.Array:
+        return jnp.sum(self.C * self.C, axis=-2)
+
     def to_box_qp(self) -> QP:
         """Lower onto the canonical l <= [A;C] x <= u box form.
 

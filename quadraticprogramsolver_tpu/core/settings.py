@@ -149,6 +149,11 @@ class ProxQPSettings:
     rho_min: float = 1e-5               # ProxQP.jl:255
     rho_max: float = 1e5                # ProxQP.jl:256
     kkt_refinement_steps: int = 1
+    #: Inner-CG controls for the matrix-free SparseProxQP path (Jacobi-
+    #: preconditioned CG on M = P + sigma*I + rho*(A'A + C'C), warm-started
+    #: from the previous iterate). Ignored for dense problems.
+    cg_eps: float = 1e-9
+    cg_max_iterations: int = 200
     #: Stop iterating once every lane has converged. The reference keeps
     #: looping after convergence (`ProxQP.jl:157` has its break commented
     #: out); False runs the full budget like the reference, with one

@@ -103,6 +103,89 @@ class SparseQP:
         return 0.5 * jnp.sum(x * self.matvec_P(x), axis=-1) + jnp.sum(self.q * x, axis=-1)
 
 
+@_pytree_dataclass
+@dataclasses.dataclass(frozen=True)
+class SparseProxQP:
+    """Equality/inequality-split QP with ELL-format matrices (single instance)
+    for the matrix-free prox-ALM path.
+
+    Sparse analogue of :class:`~..core.problem.ProxQPProblem` — the role of
+    the reference's sparse ProxQP constructor + CHOLMOD in-place
+    refactorization (`/root/reference/ProxQP.jl:95-115, 201-206`), except the
+    TPU path never factorizes: the inner solve is Jacobi-preconditioned CG on
+    M = P + sigma*I + rho*(A'A + C'C), so a "refactor" on rho drift is just a
+    diagonal refresh. Matrices are stored row-ELL with pre-transposed copies
+    (see :class:`SparseQP` for the layout rationale).
+    """
+
+    P_vals: jax.Array
+    P_cols: jax.Array
+    A_vals: jax.Array      # (me, kA) equality rows
+    A_cols: jax.Array
+    At_vals: jax.Array     # (n, kAt) A' rows
+    At_cols: jax.Array
+    C_vals: jax.Array      # (mi, kC) inequality rows
+    C_cols: jax.Array
+    Ct_vals: jax.Array     # (n, kCt) C' rows
+    Ct_cols: jax.Array
+    q: jax.Array           # (n,)
+    b: jax.Array           # (me,)
+    d: jax.Array           # (mi,)
+    dP: jax.Array          # (n,) diag(P)
+    dAtA: jax.Array        # (n,) diag(A'A)
+    dCtC: jax.Array        # (n,) diag(C'C)
+
+    @property
+    def n(self) -> int:
+        return self.q.shape[0]
+
+    @property
+    def n_eq(self) -> int:
+        return self.b.shape[0]
+
+    @property
+    def n_ineq(self) -> int:
+        return self.d.shape[0]
+
+    @property
+    def batch_shape(self) -> tuple[int, ...]:
+        return ()
+
+    @property
+    def dtype(self):
+        return self.q.dtype
+
+    @property
+    def is_dense(self) -> bool:
+        return False
+
+    # -- operator protocol (same contract as ProxQPProblem) --
+
+    def matvec_P(self, v: jax.Array) -> jax.Array:
+        return _ell_matvec(self.P_vals, self.P_cols, v)
+
+    def matvec_A(self, v: jax.Array) -> jax.Array:
+        return _ell_matvec(self.A_vals, self.A_cols, v)
+
+    def matvec_At(self, w: jax.Array) -> jax.Array:
+        return _ell_matvec(self.At_vals, self.At_cols, w)
+
+    def matvec_C(self, v: jax.Array) -> jax.Array:
+        return _ell_matvec(self.C_vals, self.C_cols, v)
+
+    def matvec_Ct(self, w: jax.Array) -> jax.Array:
+        return _ell_matvec(self.Ct_vals, self.Ct_cols, w)
+
+    def diag_P(self) -> jax.Array:
+        return self.dP
+
+    def diag_AtA(self) -> jax.Array:
+        return self.dAtA
+
+    def diag_CtC(self) -> jax.Array:
+        return self.dCtC
+
+
 def _to_ell(M, dtype) -> tuple[np.ndarray, np.ndarray]:
     """scipy sparse -> (vals (rows, k), cols (rows, k)) with zero padding."""
     import scipy.sparse as sp
@@ -141,3 +224,34 @@ def make_sparse_qp(P, q, A, l, u, dtype=np.float32) -> SparseQP:
         l=jnp.asarray(np.asarray(l, dtype)),
         u=jnp.asarray(np.asarray(u, dtype)),
         dP=jnp.asarray(dP), dAtA=jnp.asarray(dAtA))
+
+
+def make_sparse_proxqp(P, q, A, b, C, d, dtype=np.float32) -> SparseProxQP:
+    """Build a SparseProxQP from scipy sparse matrices (host-side).
+
+    Role of the reference's sparse ProxQP constructor (ProxQP.jl:95-115),
+    minus the factorization — the matrix-free path needs only operators and
+    Jacobi diagonals.
+    """
+    import scipy.sparse as sp
+
+    P = sp.csr_matrix(P).astype(dtype)
+    A = sp.csr_matrix(A).astype(dtype)
+    C = sp.csr_matrix(C).astype(dtype)
+    Pv, Pc = _to_ell(P, dtype)
+    Av, Ac = _to_ell(A, dtype)
+    Atv, Atc = _to_ell(A.T.tocsr(), dtype)
+    Cv, Cc = _to_ell(C, dtype)
+    Ctv, Ctc = _to_ell(C.T.tocsr(), dtype)
+    return SparseProxQP(
+        P_vals=jnp.asarray(Pv), P_cols=jnp.asarray(Pc),
+        A_vals=jnp.asarray(Av), A_cols=jnp.asarray(Ac),
+        At_vals=jnp.asarray(Atv), At_cols=jnp.asarray(Atc),
+        C_vals=jnp.asarray(Cv), C_cols=jnp.asarray(Cc),
+        Ct_vals=jnp.asarray(Ctv), Ct_cols=jnp.asarray(Ctc),
+        q=jnp.asarray(np.asarray(q, dtype)),
+        b=jnp.asarray(np.asarray(b, dtype)),
+        d=jnp.asarray(np.asarray(d, dtype)),
+        dP=jnp.asarray(np.asarray(P.diagonal(), dtype)),
+        dAtA=jnp.asarray(np.asarray(A.multiply(A).sum(axis=0)).ravel().astype(dtype)),
+        dCtC=jnp.asarray(np.asarray(C.multiply(C).sum(axis=0)).ravel().astype(dtype)))

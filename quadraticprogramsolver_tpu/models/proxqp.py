@@ -25,6 +25,13 @@ TPU-first: dense batched pytrees, cached explicit M^{-1} (per-iteration solve
 is one MXU matmul + refinement), `lax.while_loop` over check-interval chunks
 with per-lane convergence masking. The reference never early-exits (its break
 is commented out, :157); we do by default (ProxQPSettings.early_exit).
+
+Sparse/matrix-free path: a :class:`~..core.sparse_problem.SparseProxQP`
+(operator protocol) routes the inner solve to Jacobi-preconditioned CG on
+M = P + sigma*I + rho*(A'A + C'C), warm-started from the previous iterate —
+the TPU answer to the reference's sparse constructor + CHOLMOD in-place
+refactorization (ProxQP.jl:95-115, 201-206): never factorize, and a rho
+update only refreshes the preconditioner diagonal.
 """
 
 from __future__ import annotations
@@ -63,7 +70,7 @@ class ProxQPSolution:
 
 
 def warm_start(prob: ProxQPProblem, reg: float = 0.0):
-    """Equality-only KKT warm start (ProxQP.jl:80-90, 102-111).
+    """Equality-only KKT warm start (ProxQP.jl:80-90, 102-111). Dense only.
 
     Solves [[P, A'], [A, -reg*I]] [x; y] = [-q; b] (reg=0 reproduces the
     reference's plain `\\`; a tiny reg guards rank-deficient A under f32)
@@ -82,7 +89,7 @@ def warm_start(prob: ProxQPProblem, reg: float = 0.0):
     k = jnp.linalg.solve(K, rhs[..., None])[..., 0]
     x = k[..., :n]
     y = k[..., n:]
-    s = jnp.maximum(prob.d - matvec(prob.C, x), 0.0)
+    s = jnp.maximum(prob.d - prob.matvec_C(x), 0.0)
     z = jnp.zeros(batch + (prob.n_ineq,), dt)
     return x, y, s, z
 
@@ -94,20 +101,29 @@ def _build_M_inv(prob: ProxQPProblem, rho, sigma):
     return spd_inverse(add_scaled_identity(sym(M), sigma))
 
 
-def _apply_M(prob: ProxQPProblem, rho, sigma, v):
+def _apply_M(prob, rho, sigma, v):
+    """Matrix-free M @ v through the operator protocol."""
     return (
-        matvec(prob.P, v)
+        prob.matvec_P(v)
         + sigma * v
         + rho[..., None] * (
-            matvec_t(prob.A, matvec(prob.A, v))
-            + matvec_t(prob.C, matvec(prob.C, v))
+            prob.matvec_At(prob.matvec_A(v))
+            + prob.matvec_Ct(prob.matvec_C(v))
         )
     )
 
 
-def solve(prob: ProxQPProblem, settings: ProxQPSettings = ProxQPSettings(),
+def _jacobi_inv(prob, rho, sigma):
+    """1 / diag(M) — the matrix-free path's whole "factorization"."""
+    d = prob.diag_P() + sigma + rho[..., None] * (prob.diag_AtA()
+                                                  + prob.diag_CtC())
+    return jnp.where(d > 0, 1.0 / d, 1.0)
+
+
+def solve(prob, settings: ProxQPSettings = ProxQPSettings(),
           init=None) -> ProxQPSolution:
-    """Solve a (batched) split-form QP. Jittable; `settings` static.
+    """Solve a (batched) split-form QP (dense ProxQPProblem or matrix-free
+    SparseProxQP). Jittable; `settings` static.
 
     ``init`` optionally provides (x, y, s, z); by default the equality-KKT
     warm start of the reference is used.
@@ -117,14 +133,17 @@ def solve(prob: ProxQPProblem, settings: ProxQPSettings = ProxQPSettings(),
         return _solve_impl(prob, settings, init)
 
 
-def _solve_impl(prob: ProxQPProblem, settings: ProxQPSettings, init) -> ProxQPSolution:
-    dt = prob.P.dtype
+def _solve_impl(prob, settings: ProxQPSettings, init) -> ProxQPSolution:
+    dt = prob.dtype
     batch = prob.batch_shape
     sigma = jnp.asarray(settings.sigma, dt)
 
+    # The KKT warm start needs the dense equality-KKT solve; operator
+    # problems start from zeros (their scale is exactly where a dense
+    # batched LU is unaffordable).
     if init is not None:
         x, y, s, z = init
-    elif settings.kkt_warm_start:
+    elif settings.kkt_warm_start and prob.is_dense:
         x, y, s, z = warm_start(prob)
     else:
         x = jnp.zeros(batch + (prob.n,), dt)
@@ -132,17 +151,34 @@ def _solve_impl(prob: ProxQPProblem, settings: ProxQPSettings, init) -> ProxQPSo
         s = jnp.maximum(prob.d, 0.0)
         z = jnp.zeros(batch + (prob.n_ineq,), dt)
     rho = jnp.full(batch, settings.rho, dt)
-    M_inv = _build_M_inv(prob, rho, sigma)
+    # "factor": cached explicit inverse (dense) or the Jacobi diagonal
+    # (matrix-free CG) — both refreshed only on rho updates.
+    if prob.is_dense:
+        factor = _build_M_inv(prob, rho, sigma)
+    else:
+        factor = _jacobi_inv(prob, rho, sigma)
 
-    def ldiv(M_inv, rho, r):
-        v = matvec(M_inv, r)
-        for _ in range(settings.kkt_refinement_steps):
-            v = v + matvec(M_inv, r - _apply_M(prob, rho, sigma, v))
+    def refresh_factor(rho):
+        return (_build_M_inv(prob, rho, sigma) if prob.is_dense
+                else _jacobi_inv(prob, rho, sigma))
+
+    def ldiv(factor, rho, r, x0):
+        if prob.is_dense:
+            v = matvec(factor, r)
+            for _ in range(settings.kkt_refinement_steps):
+                v = v + matvec(factor, r - _apply_M(prob, rho, sigma, v))
+        else:
+            from .kkt import _pcg
+
+            v = _pcg(lambda w: _apply_M(prob, rho, sigma, w), r, x0, factor,
+                     abs_tol=settings.cg_eps,
+                     max_iterations=settings.cg_max_iterations)
         return v
 
     fused_ok = (
         settings.fused_chunk
-        and prob.P.dtype == jnp.float32
+        and prob.is_dense
+        and prob.dtype == jnp.float32
         and len(batch) == 1
         and prob.n % 128 == 0
         and prob.n_eq % 128 == 0 and prob.n_eq > 0
@@ -150,7 +186,7 @@ def _solve_impl(prob: ProxQPProblem, settings: ProxQPSettings, init) -> ProxQPSo
     )
 
     def chunk_step(carry, _):
-        x, y, s, z, rho, M_inv, converged, iters_done, res_p, res_d, it = carry
+        x, y, s, z, rho, factor, converged, iters_done, res_p, res_d, it = carry
         active = ~converged if settings.early_exit else jnp.ones_like(converged)
         act = active[..., None]
         rho_col = rho[..., None]
@@ -158,12 +194,12 @@ def _solve_impl(prob: ProxQPProblem, settings: ProxQPSettings, init) -> ProxQPSo
         def one_iter(_, state):
             x, s, y, z = state
             r = (-prob.q + sigma * x
-                 + matvec_t(prob.A, rho_col * prob.b - y)
-                 + matvec_t(prob.C, rho_col * (prob.d - s) - z))
-            x_new = ldiv(M_inv, rho, r)
-            Cx = matvec(prob.C, x_new)
+                 + prob.matvec_At(rho_col * prob.b - y)
+                 + prob.matvec_Ct(rho_col * (prob.d - s) - z))
+            x_new = ldiv(factor, rho, r, x)
+            Cx = prob.matvec_C(x_new)
             s_new = jnp.maximum(prob.d - Cx - z / rho_col, 0.0)
-            y_new = y + rho_col * (matvec(prob.A, x_new) - prob.b)
+            y_new = y + rho_col * (prob.matvec_A(x_new) - prob.b)
             z_new = jnp.maximum(z + rho_col * (Cx - prob.d + s_new), 0.0)
             return (
                 jnp.where(act, x_new, x),
@@ -176,7 +212,7 @@ def _solve_impl(prob: ProxQPProblem, settings: ProxQPSettings, init) -> ProxQPSo
             from ..ops.fused_proxqp import fused_proxqp_chunk
 
             x, s, y, z = fused_proxqp_chunk(
-                M_inv, prob.A, prob.C, prob.P, prob.q, prob.b, prob.d,
+                factor, prob.A, prob.C, prob.P, prob.q, prob.b, prob.d,
                 x, s, y, z, rho, active,
                 K=settings.check_interval, sigma=settings.sigma,
                 refine=settings.kkt_refinement_steps,
@@ -187,11 +223,11 @@ def _solve_impl(prob: ProxQPProblem, settings: ProxQPSettings, init) -> ProxQPSo
         it = it + settings.check_interval
 
         # CheckConvergence! (ProxQP.jl:252-298), PIQP criteria 13a-c.
-        Px = matvec(prob.P, x)
-        Aty = matvec_t(prob.A, y)
-        Ctz = matvec_t(prob.C, z)
-        Ax = matvec(prob.A, x)
-        Cx = matvec(prob.C, x)
+        Px = prob.matvec_P(x)
+        Aty = prob.matvec_At(y)
+        Ctz = prob.matvec_Ct(z)
+        Ax = prob.matvec_A(x)
+        Cx = prob.matvec_C(x)
         res_prim = jnp.maximum(inf_norm(Ax - prob.b), inf_norm(Cx - prob.d + s))
         res_dual = inf_norm(Px + Aty + Ctz + prob.q)
         max_prim = jnp.max(
@@ -221,18 +257,18 @@ def _solve_impl(prob: ProxQPProblem, settings: ProxQPSettings, init) -> ProxQPSo
                 rho * jnp.sqrt(jnp.sqrt(jnp.where(trip, ratio, 1.0))),
                 settings.rho_min, settings.rho_max).astype(dt)
             rho_next = jnp.where(trip, rho_new, rho)
-            M_inv = jax.lax.cond(
+            factor = jax.lax.cond(
                 jnp.any(trip),
-                lambda _: _build_M_inv(prob, rho_next, sigma),
-                lambda mi: mi,
-                M_inv)
+                lambda _: refresh_factor(rho_next),
+                lambda f: f,
+                factor)
             rho = rho_next
 
-        return (x, y, s, z, rho, M_inv, converged, iters_done, res_p, res_d, it), None
+        return (x, y, s, z, rho, factor, converged, iters_done, res_p, res_d, it), None
 
     converged0 = jnp.zeros(batch, bool)
     carry = (
-        x, y, s, z, rho, M_inv, converged0,
+        x, y, s, z, rho, factor, converged0,
         jnp.full(batch, settings.num_checks * settings.check_interval, jnp.int32),
         jnp.full(batch, jnp.inf, dt), jnp.full(batch, jnp.inf, dt),
         jnp.zeros((), jnp.int32))

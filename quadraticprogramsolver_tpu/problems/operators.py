@@ -90,3 +90,65 @@ def monotone_smoothing_qp(y: np.ndarray, ref_idx, smooth_order: int = 2,
     C = monotonicity_operator(ref_idx, y)
     d = np.zeros(C.shape[0])
     return P, q, C, d
+
+
+def difference_operator_sparse(order: int, num_samples: int):
+    """Sparse CSR version of :func:`difference_operator` — the banded
+    stencil matrix scales to n >= 1e5 where the dense builder would allocate
+    O(n^2)."""
+    import scipy.sparse as sp
+
+    if order not in _DIFF_COEFFS:
+        raise ValueError(f"order must be in {sorted(_DIFF_COEFFS)}; got {order}")
+    c = np.asarray(_DIFF_COEFFS[order])
+    radius = (len(c) - 1) // 2
+    rows = num_samples - 2 * radius
+    if rows <= 0:
+        raise ValueError("num_samples too small for this stencil")
+    return sp.diags([np.full(rows, ci) for ci in c],
+                    offsets=list(range(len(c))),
+                    shape=(rows, num_samples), format="csr")
+
+
+def monotonicity_operator_sparse(ref_idx, ref_y):
+    """Sparse CSR version of :func:`monotonicity_operator` (two nonzeros per
+    row)."""
+    import scipy.sparse as sp
+
+    ref_idx = np.asarray(ref_idx, int)
+    ref_y = np.asarray(ref_y, float)
+    if ref_idx.ndim != 1 or ref_idx.size < 2:
+        raise ValueError("need at least two sorted reference indices")
+    if np.any(np.diff(ref_idx) <= 0):
+        raise ValueError("ref_idx must be strictly increasing")
+    if int(ref_idx[-1]) >= ref_y.size:
+        raise ValueError("ref_idx exceeds the sample length")
+    start, end = int(ref_idx[0]), int(ref_idx[-1])
+    rows = end - start
+    j = np.arange(start, end)
+    # Segment sign per sample row: non-decreasing where the reference rises.
+    seg = np.searchsorted(ref_idx, j, side="right") - 1
+    sign = np.where(ref_y[ref_idx[seg]] <= ref_y[ref_idx[np.minimum(
+        seg + 1, ref_idx.size - 1)]], 1.0, -1.0)
+    data = np.concatenate([sign, -sign])
+    rows_idx = np.concatenate([j - start, j - start])
+    cols_idx = np.concatenate([j, j + 1])
+    return sp.csr_matrix((data, (rows_idx, cols_idx)),
+                         shape=(rows, ref_y.size))
+
+
+def monotone_smoothing_sparse_qp(y: np.ndarray, ref_idx,
+                                 smooth_order: int = 2, lam: float = 1.0):
+    """Sparse version of :func:`monotone_smoothing_qp`: returns scipy-sparse
+    (P, q, C, d) suitable for `make_sparse_proxqp` — the matrix-free ProxQP
+    path for n >= 5e4 signals (ProxQP002.jl's application at TPU scale)."""
+    import scipy.sparse as sp
+
+    y = np.asarray(y, float)
+    n = y.size
+    D = difference_operator_sparse(smooth_order, n)
+    P = (sp.eye(n, format="csr") + lam * (D.T @ D)).tocsr()
+    q = -y
+    C = monotonicity_operator_sparse(ref_idx, y)
+    d = np.zeros(C.shape[0])
+    return P, q, C, d
