@@ -172,12 +172,21 @@ def main():
 
     rate, batch, dt, sol, qp = best
 
-    # Accuracy audit on a subsample vs the host f64 oracle.
+    # Accuracy audit vs the host f64 oracle: 16 lanes — 8 evenly spread plus
+    # the 8 worst (highest-iteration) converged lanes, i.e. the stragglers
+    # most likely to hide an accuracy problem (RunBenchmarks.jl:98-104 records
+    # a convergence flag per run; we go further and check the solution).
     from quadraticprogramsolver_tpu.utils.oracle import solve_qp_reference
 
     x = np.asarray(sol.x)
+    status = np.asarray(sol.info.status)
+    iters = np.asarray(sol.info.iterations)
+    converged = np.where((status == 2) | (status == 3))[0]
+    spread = converged[:: max(1, len(converged) // 8)][:8]
+    worst = converged[np.argsort(iters[converged])[-8:]]
+    audit_idx = sorted(set(spread.tolist()) | set(worst.tolist()))
     devs = []
-    for i in (0, batch // 2):
+    for i in audit_idx:
         ref = solve_qp_reference(
             np.asarray(qp.P[i], np.float64), np.asarray(qp.q[i], np.float64),
             np.asarray(qp.A[i], np.float64), np.asarray(qp.l[i], np.float64),
@@ -185,14 +194,19 @@ def main():
             eps_abs=1e-6, eps_rel=1e-6, rho=0.1, max_iterations=20000)
         if ref.status == 3:
             devs.append(np.abs(x[i] - ref.x).max())
-    if devs:
-        log(f"accuracy audit: max|x-x_ref|_inf over {len(devs)} samples = {max(devs):.2e}")
+    audit_max = max(devs) if devs else float("nan")
+    log(f"accuracy audit: max|x-x_ref|_inf over {len(devs)} lanes "
+        f"(incl. {len(worst)} worst-iteration) = {audit_max:.2e}")
 
+    iters_per_sec = float(iters.sum()) / dt
     print(json.dumps({
         "metric": "batched 500-var QPs solved/sec/chip at 1e-4",
         "value": round(float(rate), 2),
         "unit": "solves/sec/chip",
         "vs_baseline": round(float(rate) / BASELINE_SOLVES_PER_SEC, 3),
+        "iterations_per_sec": round(iters_per_sec, 1),
+        "audit_n": len(devs),
+        "audit_max_dev": float(f"{audit_max:.3e}") if devs else None,
     }))
 
 

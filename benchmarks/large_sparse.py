@@ -22,12 +22,7 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 def main(argv=None):
     p = argparse.ArgumentParser()
-    # Default 5e4: on this image's remote-TPU backend the composed solve
-    # program reproducibly crashes the worker ("kernel fault") at n=1e5 even
-    # though every constituent op (ELL gathers, reductions) runs fine at that
-    # size standalone; n=5e4 is the verified-stable scale. Pass --n 100000 to
-    # retry on a healthier backend.
-    p.add_argument("--n", type=int, default=50_000)
+    p.add_argument("--n", type=int, default=100_000)
     p.add_argument("--eps", type=float, default=1e-4)
     args = p.parse_args(argv)
 
@@ -55,13 +50,17 @@ def main(argv=None):
     from quadraticprogramsolver_tpu.models.admm import solve_segmented
 
     # Segmented: bounded device programs (the remote worker faults on
-    # multi-minute single programs) + one warmup segment for compile.
-    sol = solve_segmented(sqp, st, segment_iterations=100)
+    # multi-minute single programs). At n=1e5 any adaptive-rho program
+    # faults/hangs the worker outright (bisected: rho-static identical
+    # program is stable), so rho adaptation runs on the HOST between
+    # segments — same candidate + hysteresis rule at segment cadence.
+    kw = dict(segment_iterations=100, host_rho_adaptation=args.n >= 100_000)
+    sol = solve_segmented(sqp, st, **kw)
     float(np.asarray(sol.x.ravel()[0]))
     times = []
     for _ in range(1):
         t0 = time.perf_counter()
-        sol = solve_segmented(sqp, st, segment_iterations=100)
+        sol = solve_segmented(sqp, st, **kw)
         float(np.asarray(sol.x.ravel()[0]))
         times.append(time.perf_counter() - t0)
     print(f"solve: {min(times)*1e3:.0f} ms, status "

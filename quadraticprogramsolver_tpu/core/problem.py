@@ -270,3 +270,40 @@ def make_proxqp(P, q, A, b, C, d, dtype=None) -> ProxQPProblem:
     if dtype is not None:
         arrs = [np.asarray(x, dtype=dtype) for x in arrs]
     return ProxQPProblem(*(jnp.asarray(x) for x in arrs))
+
+
+def pad_proxqp(prob: ProxQPProblem, n_pad: int, me_pad: int,
+               mi_pad: int) -> ProxQPProblem:
+    """Zero-pad a split-form QP to static shapes without changing its solution.
+
+    Padded variables get P[i,i]=1, q[i]=0 (optimum 0, uncoupled); padded
+    equality rows are 0=0 (dual stays at its 0 init) and padded inequality
+    rows are 0<=0 with s=z=0 fixed points of the prox-ALM updates. Lets the
+    fused Pallas chunk (128-multiple shapes) run on arbitrary problem sizes.
+    """
+    n, me, mi = prob.n, prob.n_eq, prob.n_ineq
+    if n_pad < n or me_pad < me or mi_pad < mi:
+        raise ValueError(
+            f"pad target ({n_pad},{me_pad},{mi_pad}) smaller than ({n},{me},{mi})")
+    if (n_pad, me_pad, mi_pad) == (n, me, mi):
+        return prob
+    dn, de, di = n_pad - n, me_pad - me, mi_pad - mi
+    batch = prob.batch_shape
+    dt = prob.dtype
+
+    def bpad(x, pads):
+        return jnp.pad(x, [(0, 0)] * len(batch) + pads)
+
+    P = bpad(prob.P, [(0, dn), (0, dn)])
+    if dn:
+        eye = jnp.zeros((n_pad, n_pad), dt).at[
+            jnp.arange(n, n_pad), jnp.arange(n, n_pad)].set(1.0)
+        P = P + jnp.broadcast_to(eye, P.shape)
+    return ProxQPProblem(
+        P=P,
+        q=bpad(prob.q, [(0, dn)]),
+        A=bpad(prob.A, [(0, de), (0, dn)]),
+        b=bpad(prob.b, [(0, de)]),
+        C=bpad(prob.C, [(0, di), (0, dn)]),
+        d=bpad(prob.d, [(0, di)]),
+    )

@@ -322,8 +322,15 @@ def _maybe_refactor(qp: QP, settings: Settings, backend, state: SolverState) -> 
     def do_refactor(cache):
         return backend.refactor(cache, qp, rho, sigma, settings)
 
-    cache = jax.lax.cond(
-        jnp.any(tripped), do_refactor, lambda c: c, state.kkt_cache)
+    if backend.cheap_refactor:
+        # Iterative backends: refactor is an O(n) diagonal refresh, so run it
+        # unconditionally. Beyond being pointless to guard, the lax.cond here
+        # is load-bearing to AVOID — see Backend.cheap_refactor in kkt.py
+        # (cond-wrapped refactor in the loop crashes the TPU worker at n=1e5).
+        cache = do_refactor(state.kkt_cache)
+    else:
+        cache = jax.lax.cond(
+            jnp.any(tripped), do_refactor, lambda c: c, state.kkt_cache)
     return SolverState(
         x=state.x, z=state.z, y=state.y, rho=rho, rho_cand=state.rho_cand,
         status=state.status, iterations=state.iterations,
@@ -346,8 +353,6 @@ def solve(qp: QP, settings: Settings = Settings(), x0=None, z0=None, y0=None,
     primal saves.
     Returns a :class:`Solution` whose leaves carry the problem's batch shape.
     """
-    if settings.polish_iterations > 0 and not qp.is_dense:
-        raise ValueError("polish requires a dense QP")
     # TPU: f32 matmuls default to a single bf16 MXU pass, which floors the
     # KKT-solve accuracy at ~1e-2 relative and stalls convergence. The
     # per-iteration ops are HBM-bound matvecs, so multi-pass accumulation
@@ -429,9 +434,30 @@ def _solve_core(qp: QP, settings: Settings, x0, z0=None, y0=None, rho0=None,
 solve_jit = jax.jit(solve, static_argnames=("settings",))
 
 
+def _rho_candidate_jit(qp: QP, x, z, y, rho):
+    """OSQP rho candidate (m:268-272) evaluated in one small device program."""
+    Ax = qp.matvec_A(x)
+    Px = qp.matvec_P(x)
+    ATy = qp.matvec_At(y)
+    rp = inf_norm(Ax - z)
+    rd = inf_norm(Px + qp.q + ATy)
+    max_prim = jnp.maximum(inf_norm(Ax), inf_norm(z))
+    max_dual = jnp.maximum(jnp.maximum(inf_norm(Px), inf_norm(ATy)),
+                           inf_norm(qp.q))
+    den = rd * max_prim
+    cand = jnp.clip(rho * jnp.sqrt(rp * max_dual / jnp.where(den == 0, 1.0, den)),
+                    RHO_MIN, RHO_MAX)
+    ok = jnp.isfinite(cand) & (den != 0) & (cand > 0)
+    return jnp.where(ok, cand, rho).astype(qp.dtype)
+
+
+_rho_candidate_jit = jax.jit(_rho_candidate_jit)
+
+
 def solve_segmented(qp: QP, settings: Settings = Settings(),
                     segment_iterations: int = 100,
-                    x0=None, z0=None, y0=None) -> Solution:
+                    x0=None, z0=None, y0=None,
+                    host_rho_adaptation: bool = False) -> Solution:
     """Host-driven segmented solve: run the device program in bounded
     segments, carrying (x, z, y, rho) between them.
 
@@ -440,6 +466,16 @@ def solve_segmented(qp: QP, settings: Settings = Settings(),
     limit single-program runtime (the remote-TPU worker here faults on
     multi-minute programs), and (b) checkpointable long solves — each
     segment's Solution can be persisted (utils/checkpoint.py) and resumed.
+
+    ``host_rho_adaptation`` moves the adaptive-rho update out of the device
+    program to the segment boundary: segments run with ``adaptive_rho=False``
+    and the host applies the reference's candidate + hysteresis rule
+    (m:268-272, jl:47-52) between them, at segment rather than
+    check-interval cadence. This exists for the n~1e5 matrix-free path on
+    the remote-TPU backend, where any adaptive-rho program reproducibly
+    faults/hangs the worker (see benchmarks/large_sparse.py) while the
+    rho-static program is stable; the coarser adaptation loses little — rho
+    retuning matters on the hundreds-of-iterations scale, not tens.
 
     Note: per-lane iteration counts are exact for lanes that finish in the
     final segment; lanes that converged in an earlier segment re-verify on
@@ -455,6 +491,9 @@ def solve_segmented(qp: QP, settings: Settings = Settings(),
             "record_history is not supported in solve_segmented (history "
             "buffers are per-segment); use solve() or capture per-segment "
             "Solutions yourself")
+    seg_settings = settings
+    if host_rho_adaptation:
+        seg_settings = dataclasses_replace(settings, adaptive_rho=False)
     seg = -(-segment_iterations // settings.check_interval) * settings.check_interval
     total = settings.num_checks * settings.check_interval
     done_iters = 0
@@ -464,13 +503,20 @@ def solve_segmented(qp: QP, settings: Settings = Settings(),
         # Clamp the last segment so the total never exceeds the budget
         # (at most two compiled segment sizes).
         this_seg = min(seg, total - done_iters)
-        sol = solve_jit(qp, dataclasses_replace(settings, max_iterations=this_seg),
+        sol = solve_jit(qp, dataclasses_replace(seg_settings, max_iterations=this_seg),
                         x0, z0, y0, rho0)
         status = np.asarray(sol.info.status)
         done_iters += this_seg
         if (status != Status.MAX_ITERATIONS).all():
             break
         x0, z0, y0, rho0 = sol.x, sol.z, sol.y, sol.info.rho
+        if host_rho_adaptation and settings.adaptive_rho:
+            cand = np.asarray(
+                _rho_candidate_jit(qp, x0, z0, y0, sol.info.rho))
+            rho = np.asarray(sol.info.rho)
+            f = settings.rho_factor
+            trip = (cand * f < rho) | (cand > f * rho)
+            rho0 = jnp.asarray(np.where(trip, cand, rho), qp.dtype)
     info = SolveInfo(
         status=sol.info.status,
         iterations=jnp.minimum(

@@ -293,7 +293,8 @@ def kkt_minres_solve(cache, qp, x, z, y, rho, settings: Settings):
     return xx, zz, {**cache, "v": v}
 
 
-def _minres(apply_K, precond, b, x0, abs_tol: float, max_iterations: int):
+def _minres(apply_K, precond, b, x0, abs_tol: float, max_iterations: int,
+            vdot=None, rel_tol: float = 0.0):
     """Batched preconditioned MINRES (Paige & Saunders) with lane masking.
 
     Solves K v = b for symmetric (indefinite) K with SPD preconditioner M;
@@ -302,15 +303,23 @@ def _minres(apply_K, precond, b, x0, abs_tol: float, max_iterations: int):
     f32 lanes terminate. Lanczos breakdown (beta -> 0: exact solution found)
     also stops the lane; all divisions are guarded so frozen lanes stay
     finite.
+
+    ``vdot(a, b) -> (*batch,)`` overrides the inner product — a distributed
+    caller (parallel/consensus.py polish) passes a psum-reducing dot over its
+    row-sharded vector segment so every shard sees the global Lanczos
+    scalars and iterates bitwise-identically.
     """
+    if vdot is None:
+        vdot = lambda a, c: jnp.sum(a * c, axis=-1)
     dtype = b.dtype
     eps = jnp.finfo(dtype).eps
+    b_norm = jnp.sqrt(jnp.maximum(vdot(b, b), 0.0))
     tol = jnp.maximum(jnp.asarray(abs_tol, dtype),
-                      10 * eps * jnp.linalg.norm(b, axis=-1))
+                      jnp.maximum(rel_tol, 10 * eps) * b_norm)
 
     r1 = b - apply_K(x0)
     y0 = precond(r1)
-    beta1 = jnp.sqrt(jnp.maximum(jnp.sum(r1 * y0, axis=-1), 0.0))
+    beta1 = jnp.sqrt(jnp.maximum(vdot(r1, y0), 0.0))
     zeros_like_b = jnp.zeros_like(b)
 
     def guard(d):
@@ -335,12 +344,12 @@ def _minres(apply_K, precond, b, x0, abs_tol: float, max_iterations: int):
         yn = apply_K(v)
         coef = jnp.where(it >= 1, beta / guard(oldb), 0.0)
         yn = yn - coef[..., None] * r1k
-        alfa = jnp.sum(v * yn, axis=-1)
+        alfa = vdot(v, yn)
         yn = yn - (alfa / guard(beta))[..., None] * r2k
         r1n, r2n = r2k, yn
         yn = precond(r2n)
         oldb_n = beta
-        beta_n = jnp.sqrt(jnp.maximum(jnp.sum(r2n * yn, axis=-1), 0.0))
+        beta_n = jnp.sqrt(jnp.maximum(vdot(r2n, yn), 0.0))
         oldeps = epsln
         delta = cs * dbar + sn * alfa
         gbar = sn * dbar - cs * alfa
@@ -457,14 +466,23 @@ class Backend:
     init: Any
     refactor: Any
     solve: Any
+    #: True when refactor is O(n) or free (iterative backends): the solver
+    #: then calls it unconditionally each chunk instead of under `lax.cond`.
+    #: Beyond being pointless for a cheap refactor, the cond is load-bearing
+    #: to AVOID: a cond-wrapped refactor inside the solve loop reproducibly
+    #: crashes the remote TPU worker at n=1e5 (kernel fault; the identical
+    #: program without the cond runs fine — see benchmarks/large_sparse.py).
+    cheap_refactor: bool = False
 
 
 BACKENDS = {
     KKTBackendKind.CHOLESKY: Backend(cholesky_init, cholesky_refactor, cholesky_solve),
     KKTBackendKind.KKT_LDL: Backend(kkt_ldl_init, kkt_ldl_refactor, kkt_ldl_solve),
-    KKTBackendKind.CG: Backend(cg_init, cg_refactor, cg_solve),
+    KKTBackendKind.CG: Backend(cg_init, cg_refactor, cg_solve,
+                               cheap_refactor=True),
     KKTBackendKind.KKT_MINRES: Backend(
-        kkt_minres_init, kkt_minres_refactor, kkt_minres_solve),
+        kkt_minres_init, kkt_minres_refactor, kkt_minres_solve,
+        cheap_refactor=True),
 }
 
 

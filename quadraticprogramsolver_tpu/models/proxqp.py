@@ -94,6 +94,31 @@ def warm_start(prob: ProxQPProblem, reg: float = 0.0):
     return x, y, s, z
 
 
+def warm_start_operator(prob, settings: ProxQPSettings):
+    """Matrix-free warm start: x0 = (P + sigma*I)^{-1}(-q) via Jacobi-CG.
+
+    The dense path warm-starts from the equality-KKT solve (ProxQP.jl:80-90);
+    at operator scale that factorization is exactly what we refuse to pay, so
+    start from the unconstrained minimizer instead — for lightly-constrained
+    applications (smoothing with a handful of pinned samples) it lands with a
+    near-zero dual residual and the ALM only has to enforce the constraints.
+    """
+    from .kkt import _pcg
+
+    dt = prob.dtype
+    sigma = jnp.asarray(settings.sigma, dt)
+    dP = prob.diag_P() + sigma
+    diag_inv = jnp.where(dP > 0, 1.0 / dP, 1.0)
+    x = _pcg(lambda v: prob.matvec_P(v) + sigma * v, -prob.q,
+             jnp.zeros_like(prob.q), diag_inv,
+             abs_tol=settings.cg_eps,
+             max_iterations=settings.cg_max_iterations)
+    y = jnp.zeros(prob.batch_shape + (prob.n_eq,), dt)
+    s = jnp.maximum(prob.d - prob.matvec_C(x), 0.0)
+    z = jnp.zeros(prob.batch_shape + (prob.n_ineq,), dt)
+    return x, y, s, z
+
+
 def _build_M_inv(prob: ProxQPProblem, rho, sigma):
     AtA = jnp.einsum("...ki,...kj->...ij", prob.A, prob.A)
     CtC = jnp.einsum("...ki,...kj->...ij", prob.C, prob.C)
@@ -138,18 +163,42 @@ def _solve_impl(prob, settings: ProxQPSettings, init) -> ProxQPSolution:
     batch = prob.batch_shape
     sigma = jnp.asarray(settings.sigma, dt)
 
-    # The KKT warm start needs the dense equality-KKT solve; operator
-    # problems start from zeros (their scale is exactly where a dense
-    # batched LU is unaffordable).
     if init is not None:
         x, y, s, z = init
     elif settings.kkt_warm_start and prob.is_dense:
         x, y, s, z = warm_start(prob)
+    elif settings.kkt_warm_start:
+        x, y, s, z = warm_start_operator(prob, settings)
     else:
         x = jnp.zeros(batch + (prob.n,), dt)
         y = jnp.zeros(batch + (prob.n_eq,), dt)
         s = jnp.maximum(prob.d, 0.0)
         z = jnp.zeros(batch + (prob.n_ineq,), dt)
+
+    # The fused Pallas chunk needs 128-multiple (n, me, mi): pad internally
+    # (inert rows/vars, see pad_proxqp) so the fast path applies to any dense
+    # f32 fleet, and slice the solution back below. The warm start above ran
+    # on the UNpadded problem — its equality-KKT solve would be singular on
+    # all-zero padded rows.
+    orig_dims = None
+    if (settings.fused_chunk and prob.is_dense and prob.dtype == jnp.float32
+            and len(batch) == 1):
+        from ..core.problem import pad_proxqp
+
+        r128 = lambda v: max(-(-v // 128) * 128, 128)
+        tgt = (r128(prob.n), r128(prob.n_eq), r128(prob.n_ineq))
+        if tgt != (prob.n, prob.n_eq, prob.n_ineq):
+            orig_dims = (prob.n, prob.n_eq, prob.n_ineq)
+            prob = pad_proxqp(prob, *tgt)
+
+            def vpad(v, w):
+                return jnp.pad(v, [(0, 0)] * len(batch) + [(0, w - v.shape[-1])])
+
+            x = vpad(x, tgt[0])
+            y = vpad(y, tgt[1])
+            s = vpad(s, tgt[2])
+            z = vpad(z, tgt[2])
+
     rho = jnp.full(batch, settings.rho, dt)
     # "factor": cached explicit inverse (dense) or the Jacobi diagonal
     # (matrix-free CG) — both refreshed only on rho updates.
@@ -283,6 +332,9 @@ def _solve_impl(prob, settings: ProxQPSettings, init) -> ProxQPSolution:
         carry, _ = jax.lax.scan(chunk_step, carry, None, length=settings.num_checks)
 
     x, y, s, z, rho, _, converged, iters_done, res_p, res_d, _ = carry
+    if orig_dims is not None:
+        n0, me0, mi0 = orig_dims
+        x, y, s, z = x[..., :n0], y[..., :me0], s[..., :mi0], z[..., :mi0]
     info = ProxQPInfo(
         converged=converged, iterations=iters_done,
         res_prim=res_p, res_dual=res_d, rho=rho)

@@ -19,8 +19,11 @@ solver exactly (tested to ~1e-9). Per-iteration communication is two
 n-vector psums + a handful of per-lane pmaxes, riding ICI.
 
 Math per iteration: SolveQuadraticProgram.jl:45-71, residuals :79-112.
-Limitations vs the single-device solver: no polish, no vector-rho, no
-infeasibility certificates (flags 1-3 only).
+Polish (m:289-325) runs distributed: matrix-free MINRES on the masked KKT
+with psum'd inner products, so every shard iterates on identical global
+Lanczos scalars. Vector-rho weights equality rows locally (weights derive
+from the row's own l/u — no communication). Remaining limitation vs the
+single-device solver: no infeasibility certificates (flags 1-3 only).
 """
 
 from __future__ import annotations
@@ -85,10 +88,6 @@ def solve_fleet_block_split(qp: QP, settings: Settings = Settings(),
 
 def _solve_impl(qp: QP, settings: Settings, mesh: Mesh,
                 fleet_axis: str | None, block_axis: str) -> Solution:
-    if settings.polish_iterations:
-        raise NotImplementedError("polish not supported in block-split mode")
-    if settings.rho_eq_scale != 1.0:
-        raise NotImplementedError("vector-rho not supported in block-split mode")
     n_shards = mesh.shape[block_axis]
     m_orig = qp.m
     qp = pad_rows_for_mesh(qp, n_shards)
@@ -115,20 +114,121 @@ def _solve_impl(qp: QP, settings: Settings, mesh: Mesh,
         def pmax(v):
             return jax.lax.pmax(v, block_axis)
 
+        # Vector-rho (OSQP's scheme, models/kkt.py:row_weights): equality
+        # rows get rho * rho_eq_scale. Weights derive from the row's own
+        # bounds, so each shard computes its slice with no communication.
+        if settings.rho_eq_scale != 1.0:
+            tol_eq = 1e-9 * jnp.maximum(1.0, jnp.abs(u))
+            w = jnp.where(
+                jnp.isfinite(l) & jnp.isfinite(u) & (jnp.abs(u - l) <= tol_eq),
+                jnp.asarray(settings.rho_eq_scale, dt), jnp.asarray(1.0, dt))
+        else:
+            w = None
+
+        def rho_rows(rho):
+            r = rho[:, None]
+            return r if w is None else r * w
+
         def factor(rho):
-            AtA = psum(jnp.einsum("bki,bkj->bij", A, A))
+            Aw = A if w is None else A * w[..., None]
+            AtA = psum(jnp.einsum("bki,bkj->bij", Aw, A))
             M = add_scaled_identity(
                 sym(Pm) + rho[:, None, None] * sym(AtA), sigma)
             return spd_inverse(M)
 
         def kkt_solve(M_inv, rho, x, z, y):
-            b = sigma * x - q + psum(matvec_t(A, rho[:, None] * z - y))
+            rho_row = rho_rows(rho)
+            b = sigma * x - q + psum(matvec_t(A, rho_row * z - y))
             xx = matvec(M_inv, b)
             for _ in range(settings.kkt_refinement_steps):
                 Mxx = (matvec(Pm, xx) + sigma * xx
-                       + rho[:, None] * psum(matvec_t(A, matvec(A, xx))))
+                       + psum(matvec_t(A, rho_row * matvec(A, xx))))
                 xx = xx + matvec(M_inv, b - Mxx)
             return xx, matvec(A, xx)
+
+        def polish_block(x, z, y):
+            """Distributed polish: models/polish.py:polish_minres with the
+            constraint rows sharded — A is applied locally, A' contributions
+            and every MINRES inner product psum over the block axis, and the
+            acceptance metric pmaxes the local bound violations. The Lanczos
+            recurrence sees only globally-reduced scalars, so all shards
+            compute the identical (replicated) polished x."""
+            from ..models.kkt import _minres
+
+            n = Pm.shape[-1]
+            delta = jnp.asarray(settings.delta, dt)
+            Ax = matvec(A, x)
+            # Active set: dual sign + primal proximity (polish.py:_active_set).
+            c = 10.0 * jnp.maximum(pmax(inf_norm(Ax - z))[:, None],
+                                   jnp.asarray(settings.eps_abs, dt))
+            low_active = ((y < 0) & jnp.isfinite(l)
+                          & (z - l <= c * (1.0 + jnp.abs(l))))
+            up_active = ((y > 0) & jnp.isfinite(u)
+                         & (u - z <= c * (1.0 + jnp.abs(u))))
+            act_rows = low_active | up_active
+            g = (jnp.where(low_active, l, 0.0)
+                 + jnp.where(up_active, u, 0.0)).astype(dt)
+            r_diag = jnp.where(act_rows, delta, jnp.asarray(1.0, dt))
+
+            def apply_K(v):
+                v1, v2 = v[..., :n], v[..., n:]
+                top = (matvec(Pm, v1) + delta * v1
+                       + psum(matvec_t(A, jnp.where(act_rows, v2, 0.0))))
+                bot = jnp.where(act_rows, matvec(A, v1), 0.0) - r_diag * v2
+                return jnp.concatenate([top, bot], axis=-1)
+
+            def apply_K_exact(v):
+                v1, v2 = v[..., :n], v[..., n:]
+                top = (matvec(Pm, v1)
+                       + psum(matvec_t(A, jnp.where(act_rows, v2, 0.0))))
+                bot = (jnp.where(act_rows, matvec(A, v1), 0.0)
+                       - jnp.where(act_rows, 0.0, v2))
+                return jnp.concatenate([top, bot], axis=-1)
+
+            d1 = jnp.diagonal(Pm, axis1=-2, axis2=-1) + delta
+            d1_inv = jnp.where(d1 > 0, 1.0 / d1, 1.0)
+
+            def precond(v):
+                return jnp.concatenate(
+                    [d1_inv * v[..., :n], v[..., n:] / r_diag], axis=-1)
+
+            def vdot(a, b):
+                return (jnp.sum(a[..., :n] * b[..., :n], axis=-1)
+                        + psum(jnp.sum(a[..., n:] * b[..., n:], axis=-1)))
+
+            def kkt_err(xv, yv):
+                Axv = matvec(A, xv)
+                dual = inf_norm(matvec(Pm, xv) + q + psum(matvec_t(A, yv)))
+                viol = pmax(inf_norm(Axv - jnp.clip(Axv, l, u)))
+                return jnp.maximum(dual, viol)
+
+            b = jnp.concatenate([-q, g], axis=-1)
+            v0 = jnp.concatenate([x, jnp.where(act_rows, y, 0.0)], axis=-1)
+
+            # Refinement sweeps against the unregularized system, exactly as
+            # models/polish.py:polish_minres (m:314-320).
+            def sweep(_, v):
+                r = b - apply_K_exact(v)
+                dv = _minres(apply_K, precond, r, jnp.zeros_like(b),
+                             abs_tol=0.0, rel_tol=settings.polish_eps,
+                             max_iterations=settings.polish_max_krylov,
+                             vdot=vdot)
+                return v + dv
+
+            v = jax.lax.fori_loop(0, max(1, settings.polish_iterations),
+                                  sweep, v0)
+            px, pn = v[..., :n], v[..., n:]
+            # Every shard computed the identical px (all Lanczos scalars are
+            # psum'd), but the concat with the row-sharded nu segment makes
+            # it *varying* to the vma checker; this pmax is a numerical no-op
+            # that re-establishes the replication certificate.
+            px = pmax(px)
+            finite = (jnp.all(jnp.isfinite(px), axis=-1)
+                      & (psum(jnp.sum((~jnp.isfinite(pn)).astype(dt), axis=-1))
+                         == 0))
+            accept = (kkt_err(px, pn) < kkt_err(x, y)) & finite
+            return (jnp.where(accept[:, None], px, x),
+                    jnp.where(accept[:, None], pn, y))
 
         # Loop-carried state must be pre-marked varying over the axes its
         # updates depend on (fleet-sharded inputs make everything vary over
@@ -168,15 +268,15 @@ def _solve_impl(qp: QP, settings: Settings, mesh: Mesh,
                     jnp.any(trip), lambda _: factor(rho), lambda mi: mi, M_inv)
 
             active = (status == Status.RUNNING)[:, None]
-            rho_col = rho[:, None]
+            rho_row = rho_rows(rho)
 
             def step(_, carry):
                 x, z, y, xp, zp = carry
                 xx, zz = kkt_solve(M_inv, rho, x, z, y)
                 xp, zp = x, z
                 x_new = alpha * xx + alpha1 * xp
-                z_new = jnp.clip(alpha * zz + alpha1 * zp + y / rho_col, l, u)
-                y_new = y + rho_col * (alpha * zz + alpha1 * zp - z_new)
+                z_new = jnp.clip(alpha * zz + alpha1 * zp + y / rho_row, l, u)
+                y_new = y + rho_row * (alpha * zz + alpha1 * zp - z_new)
                 x = jnp.where(active, x_new, xp)
                 z = jnp.where(active, z_new, zp)
                 y = jnp.where(active, y_new, y)
@@ -227,6 +327,9 @@ def _solve_impl(qp: QP, settings: Settings, mesh: Mesh,
         exhausted = status == Status.RUNNING
         status = jnp.where(exhausted, Status.MAX_ITERATIONS, status).astype(jnp.int32)
         iters = jnp.where(exhausted, it, iters)
+
+        if settings.polish_iterations > 0:
+            x, y = polish_block(x, z, y)
         return x, z, y, status, iters, rp, rd, rho
 
     sharding = lambda spec: NamedSharding(mesh, spec)

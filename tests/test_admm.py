@@ -235,6 +235,29 @@ def test_segmented_solve_matches_plain():
     assert int(seg2.info.iterations) == 100
 
 
+def test_segmented_host_rho_adaptation():
+    # Device programs run rho-static; the host applies the candidate +
+    # hysteresis rule between segments (the n=1e5 remote-TPU workaround).
+    # Must converge to the same solution as the in-program adaptive solve.
+    from quadraticprogramsolver_tpu.models.admm import solve_segmented
+
+    data = qps.generate_random_qp(ProblemClass.RANDOM_QP, 24, seed=3)
+    sqp = qps.make_sparse_qp(data.P, data.q, data.A, data.l, data.u,
+                             dtype=np.float64)
+    st = qps.Settings(max_iterations=4000, eps_abs=1e-8, eps_rel=1e-8,
+                      # rho far off so convergence genuinely needs adaptation
+                      rho=100.0, adaptive_rho=True,
+                      cg_eps=1e-12, cg_max_iterations=400)
+    plain = qps.solve_jit(sqp, st)
+    host = solve_segmented(sqp, st, segment_iterations=50,
+                           host_rho_adaptation=True)
+    assert int(host.info.status) in (2, 3)
+    dev = np.abs(np.asarray(host.x) - np.asarray(plain.x)).max()
+    assert dev <= 1e-6, dev
+    # And the adaptation actually moved rho off its (bad) initial value.
+    assert abs(float(host.info.rho) - 100.0) > 1.0
+
+
 def test_bitwise_reproducibility():
     # SURVEY.md §5: in place of race detection (nothing races on TPU), assert
     # cross-run determinism — two identical solves must agree bitwise.

@@ -88,6 +88,36 @@ def test_fleet_block_split_row_padding():
     assert dev <= 1e-9, dev
 
 
+def test_block_split_polish_matches_single_device():
+    # Polish runs distributed (psum'd MINRES); must land where the
+    # single-device matrix-free polish lands.
+    data, qp = _qp(seed=3)
+    st = qps.Settings(max_iterations=2000, eps_abs=1e-5, eps_rel=1e-5,
+                      rho=0.1, adaptive_rho=True, polish_iterations=10)
+    single = qps.solve_jit(qp, st)
+    dist = solve_block_split(qp, st)
+    dev = np.abs(np.asarray(dist.x) - np.asarray(single.x)).max()
+    assert dev <= 1e-7, dev
+    rep = kkt_optimality(data.P, data.q, data.A, data.l, data.u,
+                         np.asarray(dist.x), np.asarray(dist.z),
+                         np.asarray(dist.y))
+    assert rep.res_prim <= 1e-6 and rep.res_dual <= 1e-6
+
+
+def test_block_split_vector_rho_matches_single_device():
+    # random_qp has ~15% equality rows; weight them 10x in both solvers.
+    data = qps.generate_random_qp(qps.ProblemClass.RANDOM_QP, 32, seed=4)
+    qp = qps.make_qp(*data.dense(), dtype=np.float64)
+    st = qps.Settings(max_iterations=5000, eps_abs=1e-8, eps_rel=1e-8,
+                      rho=0.1, adaptive_rho=True, rho_eq_scale=10.0)
+    single = qps.solve_jit(qp, st)
+    dist = solve_block_split(qp, st)
+    dev = np.abs(np.asarray(dist.x) - np.asarray(single.x)).max()
+    assert dev <= 1e-9, dev
+    assert int(dist.info.status) == int(single.info.status)
+    assert int(dist.info.iterations) == int(single.info.iterations)
+
+
 def test_block_split_returns_unpadded_duals():
     # m=30 on 8 devices pads to 32 internally; the returned z/y must have 30.
     data = qps.generate_random_qp(qps.ProblemClass.INEQUALITY_QP, 16,

@@ -163,6 +163,27 @@ def test_proxqp_fused_chunk_matches_xla():
     assert dev <= 1e-4, dev
 
 
+def test_proxqp_fused_chunk_pads_unaligned_dims():
+    import jax
+
+    # Non-128-multiple dims: the solver pads internally (pad_proxqp) so the
+    # fused path still runs, and the sliced-back solution matches XLA.
+    probs = [_random_split_problem(n=100, me=7, mi=33, seed=s,
+                                   dtype=np.float32) for s in (0, 1)]
+    batched = jax.tree.map(lambda *xs: np.stack(xs), *probs)
+    st_x = qps.ProxQPSettings(max_iterations=500, eps_abs=1e-5, eps_rel=1e-5)
+    st_f = qps.ProxQPSettings(max_iterations=500, eps_abs=1e-5, eps_rel=1e-5,
+                              fused_chunk=True)
+    sx = proxqp.solve_jit(batched, st_x)
+    sf = proxqp.solve_jit(batched, st_f)
+    assert sf.x.shape == sx.x.shape
+    assert sf.y.shape == sx.y.shape and sf.z.shape == sx.z.shape
+    assert np.asarray(sf.info.converged).all()
+    scale = np.abs(np.asarray(sx.x)).max() + 1.0
+    dev = np.abs(np.asarray(sx.x) - np.asarray(sf.x)).max() / scale
+    assert dev <= 1e-4, dev
+
+
 def test_proxqp_zero_start_converges_same():
     prob = _random_split_problem(seed=2)
     x_ref = _oracle_x(prob)
