@@ -1,0 +1,159 @@
+"""ProxQP-family fleet throughput (second solver family, VERDICT item 7).
+
+    python benchmarks/proxqp_fleet.py [--batch 512] [--n 512] [--rho ...]
+
+Generates a fleet of random split-form QPs on device (dense P, A eq rows,
+C ineq rows — the shape of ProxQP001.jl's demo, :65-100), solves with the
+prox-ALM at eps 1e-4, reports solves/s plus a factor/iterate time split.
+Diagnostics on stderr.
+"""
+
+from __future__ import annotations
+
+import argparse
+import functools
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def hard_sync(x):
+    return float(np.asarray(x.ravel()[0]))
+
+
+def device_fleet(batch, n, me, mi, seed):
+    import jax
+    import jax.numpy as jnp
+
+    import quadraticprogramsolver_tpu as qps
+
+    @functools.partial(jax.jit, static_argnums=(1, 2, 3))
+    def gen(key, batch, rows, cols):
+        return jax.random.normal(key, (batch, rows, cols), jnp.float32)
+
+    key = jax.random.PRNGKey(seed)
+    M = gen(key, batch, n, n)
+
+    @jax.jit
+    def gram(M):
+        return (jnp.einsum("bki,bkj->bij", M, M, precision="highest") / n
+                + jnp.eye(M.shape[-1], dtype=jnp.float32))
+
+    P = gram(M)
+    A = gen(jax.random.fold_in(key, 1), batch, me, n)
+    C = gen(jax.random.fold_in(key, 2), batch, mi, n)
+    assert A.shape == (batch, me, n) and C.shape == (batch, mi, n)
+
+    @jax.jit
+    def vecs(key, A, C):
+        xf = jax.random.normal(key, (batch, n), jnp.float32)
+        q = jax.random.normal(jax.random.fold_in(key, 1), (batch, n), jnp.float32)
+        b = jnp.einsum("bij,bj->bi", A, xf)
+        d = jnp.einsum("bij,bj->bi", C, xf) + 1.0
+        return q, b, d
+
+    q, b, d = vecs(jax.random.fold_in(key, 3), A, C)
+    from quadraticprogramsolver_tpu.core.problem import ProxQPProblem
+
+    return ProxQPProblem(P=P, q=q, A=A, b=b, C=C, d=d)
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--batch", type=int, default=512)
+    p.add_argument("--n", type=int, default=512)
+    p.add_argument("--me", type=int, default=128)
+    p.add_argument("--mi", type=int, default=128)
+    p.add_argument("--rho", type=float, default=0.1)
+    p.add_argument("--sweep-rho", action="store_true")
+    p.add_argument("--refine", type=int, default=1)
+    p.add_argument("--ci", type=int, default=50)
+    p.add_argument("--no-adapt", action="store_true")
+    args = p.parse_args(argv)
+
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    import quadraticprogramsolver_tpu as qps
+    from quadraticprogramsolver_tpu.models import proxqp
+
+    on_tpu = jax.default_backend() == "tpu"
+    log(f"device: {jax.devices()[0]}")
+    prob = device_fleet(args.batch, args.n, args.me, args.mi, seed=0)
+    hard_sync(prob.P)
+    log(f"fleet B={args.batch} n={args.n} me={args.me} mi={args.mi} generated")
+
+    rhos = (0.03, 0.1, 0.3, 1.0) if args.sweep_rho else (args.rho,)
+    best = None
+    for rho in rhos:
+        st = qps.ProxQPSettings(
+            max_iterations=2000, eps_abs=1e-4, eps_rel=1e-4, rho=rho,
+            adaptive_rho=not args.no_adapt, kkt_warm_start=False,
+            kkt_refinement_steps=args.refine, check_interval=args.ci,
+            fused_chunk=on_tpu)
+        sol = proxqp.solve_jit(prob, st)   # compile + warmup
+        hard_sync(sol.x)
+        dt = None
+        for _ in range(3):
+            t0 = time.perf_counter()
+            sol = proxqp.solve_jit(prob, st)
+            hard_sync(sol.x)
+            t = time.perf_counter() - t0
+            dt = t if dt is None else min(dt, t)
+        conv = int(np.asarray(sol.info.converged).sum())
+        iters = np.asarray(sol.info.iterations)
+        log(f"rho={rho}: {dt*1e3:.0f} ms, {conv}/{args.batch} converged, "
+            f"p50 iters {np.median(iters):.0f} max {iters.max()}, "
+            f"{conv/dt:.0f} solves/s")
+        if best is None or conv / dt > best[0]:
+            best = (conv / dt, sol)
+
+    # Accuracy audit: re-solve a few lanes through the independent f64 oracle
+    # on the lowered box form (equalities become l=u=b rows).
+    from quadraticprogramsolver_tpu.utils.oracle import solve_qp_reference
+
+    box = prob.to_box_qp()
+    sol = best[1]
+    x = np.asarray(sol.x)
+    devs = []
+    for i in (0, args.batch // 2, args.batch - 1):
+        ref = solve_qp_reference(
+            np.asarray(box.P[i], np.float64), np.asarray(box.q[i], np.float64),
+            np.asarray(box.A[i], np.float64), np.asarray(box.l[i], np.float64),
+            np.asarray(box.u[i], np.float64),
+            eps_abs=1e-7, eps_rel=1e-7, rho=0.1, max_iterations=50_000)
+        if ref.status == 3:
+            devs.append(np.abs(x[i] - ref.x).max())
+    if devs:
+        log(f"accuracy audit: max|x-x_ref|_inf over {len(devs)} lanes = {max(devs):.2e}")
+
+    # Stage split: factor (M build + inverse) vs one chunk of iterations.
+    import jax.numpy as jnp
+
+    sigma = jnp.asarray(1e-6, jnp.float32)
+    rho_v = jnp.full((args.batch,), rhos[-1], jnp.float32)
+
+    @jax.jit
+    def factor_only(prob, rho_v):
+        with jax.default_matmul_precision("highest"):
+            return proxqp._build_M_inv(prob, rho_v, sigma)
+
+    Minv = factor_only(prob, rho_v)
+    hard_sync(Minv)
+    t0 = time.perf_counter(); hard_sync(factor_only(prob, rho_v)); tf = time.perf_counter() - t0
+    log(f"factor (M build + inverse): {tf*1e3:.0f} ms")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

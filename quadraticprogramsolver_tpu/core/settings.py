@@ -55,6 +55,28 @@ RHO_MAX = 1e6
 # ADMM fixed-point tolerance factor (`SolveQuadraticProgram.m:124,208`).
 EPS_ADMM_FACTOR = 1e-2
 
+#: f32 floor for the proximal regularization sigma. The reference's
+#: sigma=1e-6 is an f64-era constant: on QPs with zero-cost flat directions
+#: (huber/lasso: singular P, one-sided rows) lambda_min(P+sigma*I+rho*A'A)
+#: collapses to sigma, so cond(M) ~ lambda_max/sigma can exceed 1/eps_f32 —
+#: at that point the f32 KKT solve is garbage AND iterative refinement
+#: diverges (contraction factor cond*eps > 1), which surfaced as bounded
+#: residual oscillation on ~5/64 huber instances (f64 trajectories
+#: identical until rho adapts upward). Flooring sigma at 1e-4 caps cond(M)
+#: within f32's refinement-convergent range; the QP's solution is
+#: sigma-independent (prox term vanishes at the fixed point), and the
+#: measured effect is 64/64 huber solved with no regression elsewhere.
+SIGMA_F32_FLOOR = 1e-4
+
+
+def sigma_for(sigma: float, dtype) -> float:
+    """Dtype-aware effective sigma: the f64 value, floored in f32."""
+    import numpy as np
+
+    if np.dtype(dtype) == np.float32:
+        return max(sigma, SIGMA_F32_FLOOR)
+    return sigma
+
 
 @dataclasses.dataclass(frozen=True)
 class Settings:
@@ -132,6 +154,10 @@ class Settings:
     def num_checks(self) -> int:
         """Number of convergence-check chunks covering max_iterations."""
         return -(-self.max_iterations // self.check_interval)
+
+    def sigma_for(self, dtype) -> float:
+        """Proximal sigma with a dtype-aware floor (see SIGMA_F32_FLOOR)."""
+        return sigma_for(self.sigma, dtype)
 
 
 @dataclasses.dataclass(frozen=True)

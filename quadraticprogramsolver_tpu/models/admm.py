@@ -55,7 +55,7 @@ def _init_state(qp: QP, settings: Settings, x0, backend, z0=None, y0=None,
     x = jnp.zeros(batch + (qp.n,), dt) if x0 is None else jnp.asarray(x0, dt)
     rho = (jnp.full(batch, settings.rho, dt) if rho0 is None
            else jnp.broadcast_to(jnp.asarray(rho0, dt), batch))
-    sigma = jnp.asarray(settings.sigma, dt)
+    sigma = jnp.asarray(settings.sigma_for(dt), dt)
     cache = backend.init(qp, rho, sigma, settings)
     history = None
     if settings.record_history:
@@ -104,7 +104,7 @@ def _run_chunk(qp: QP, settings: Settings, backend, state: SolverState):
             state.kkt_cache["M_inv"], qp.A, qp.P, qp.q, qp.l, qp.u,
             state.x, state.z, state.y, rho_row, active,
             K=settings.check_interval, alpha=settings.alpha,
-            sigma=settings.sigma, refine=settings.kkt_refinement_steps,
+            sigma=settings.sigma_for(jnp.float32), refine=settings.kkt_refinement_steps,
             interpret=jax.default_backend() != "tpu")
         return x, z, y, xp, zp, state.kkt_cache
 
@@ -221,8 +221,22 @@ def _check_convergence(qp: QP, settings: Settings, state: SolverState, x, z, y, 
 
     rho_cand = state.rho_cand
     if settings.adaptive_rho:
-        num = res_prim * max_dual
-        den = res_dual * max_prim
+        # rho adapts on residuals of the space the ITERATION runs in — the
+        # scaled space when Ruiz scaling is on (OSQP's discipline: terminate
+        # unscaled, adapt scaled). Feeding unscaled ratios to a scaled
+        # iteration drives rho to values wrong for the scaled problem; on the
+        # huber family this stalls lanes for the full budget (f32 AND f64)
+        # that otherwise converge in ~50 iterations.
+        if term_scale is None:
+            rp_s, rd_s, mp_s, md_s = res_prim, res_dual, max_prim, max_dual
+        else:
+            rp_s = inf_norm(Ax - z)
+            rd_s = inf_norm(Px + qp.q + ATy)
+            mp_s = jnp.maximum(inf_norm(Ax), inf_norm(z))
+            md_s = jnp.maximum(
+                jnp.maximum(inf_norm(Px), inf_norm(ATy)), inf_norm(qp.q))
+        num = rp_s * md_s
+        den = rd_s * mp_s
         ratio = jnp.sqrt(num / jnp.where(den == 0, 1.0, den))
         cand = jnp.clip(state.rho * ratio, RHO_MIN, RHO_MAX)
         ok = jnp.isfinite(cand) & (den != 0) & (cand > 0)
@@ -317,7 +331,7 @@ def _maybe_refactor(qp: QP, settings: Settings, backend, state: SolverState) -> 
         (state.rho_cand * f < state.rho) | (state.rho_cand > f * state.rho)
     )
     rho = jnp.where(tripped, state.rho_cand, state.rho)
-    sigma = jnp.asarray(settings.sigma, qp.dtype)
+    sigma = jnp.asarray(settings.sigma_for(qp.dtype), qp.dtype)
 
     def do_refactor(cache):
         return backend.refactor(cache, qp, rho, sigma, settings)

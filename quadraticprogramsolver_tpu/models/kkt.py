@@ -116,7 +116,7 @@ def cholesky_refactor(cache, qp: QP, rho, sigma, settings: Settings):
 
 
 def cholesky_solve(cache, qp: QP, x, z, y, rho, settings: Settings):
-    sigma = jnp.asarray(settings.sigma, qp.dtype)
+    sigma = jnp.asarray(settings.sigma_for(qp.dtype), qp.dtype)
     rho_row = rho_rows(qp, rho, settings)
     b = _normal_rhs(qp, x, z, y, rho_row, sigma)
     M_inv = cache["M_inv"]
@@ -213,7 +213,7 @@ def kkt_ldl_solve(cache, qp: QP, x, z, y, rho, settings: Settings):
     """Direct-path solve exactly as the reference (jl:205-210): solve the
     full KKT, then zz = z + (v2 - y)/rho (per-row rho generalization)."""
     dt = qp.dtype
-    sigma = jnp.asarray(settings.sigma, dt)
+    sigma = jnp.asarray(settings.sigma_for(dt), dt)
     rho_row = rho_rows(qp, rho, settings)
     rhs = jnp.concatenate([sigma * x - qp.q, z - y / rho_row], axis=-1)
     v = _ldl_solve_vec(cache, rhs)
@@ -277,7 +277,7 @@ def _kkt_precond(cache, qp, rho_row):
 
 
 def kkt_minres_solve(cache, qp, x, z, y, rho, settings: Settings):
-    sigma = jnp.asarray(settings.sigma, qp.dtype)
+    sigma = jnp.asarray(settings.sigma_for(qp.dtype), qp.dtype)
     rho_row = rho_rows(qp, rho, settings)
     rhs = jnp.concatenate([sigma * x - qp.q, z - y / rho_row], axis=-1)
     v = _minres(
@@ -403,7 +403,7 @@ def cg_refactor(cache, qp, rho, sigma, settings: Settings):
 
 
 def cg_solve(cache, qp, x, z, y, rho, settings: Settings):
-    sigma = jnp.asarray(settings.sigma, qp.dtype)
+    sigma = jnp.asarray(settings.sigma_for(qp.dtype), qp.dtype)
     rho_row = rho_rows(qp, rho, settings)
     b = _normal_rhs(qp, x, z, y, rho_row, sigma)
     xx = _pcg(

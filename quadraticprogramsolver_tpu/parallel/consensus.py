@@ -104,7 +104,7 @@ def _solve_impl(qp: QP, settings: Settings, mesh: Mesh,
         dt = Pm.dtype
         Bb = Pm.shape[0]
         m_loc = A.shape[-2]
-        sigma = jnp.asarray(settings.sigma, dt)
+        sigma = jnp.asarray(settings.sigma_for(dt), dt)
         alpha = jnp.asarray(settings.alpha, dt)
         alpha1 = jnp.asarray(1.0 - settings.alpha, dt)
 

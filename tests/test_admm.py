@@ -235,6 +235,24 @@ def test_segmented_solve_matches_plain():
     assert int(seg2.info.iterations) == 100
 
 
+def test_f32_sigma_floor_on_degenerate_qp():
+    # huber instances have zero-cost flat directions: lambda_min(M) collapses
+    # to sigma, and at the reference's f64-era sigma=1e-6 the f32 KKT solve
+    # has cond*eps > 1 (refinement diverges, residuals oscillate forever —
+    # seeds 7/48 reproduce it). The dtype-aware sigma floor (settings.py:
+    # SIGMA_F32_FLOOR) must make these converge.
+    for seed in (7, 48):
+        data = qps.generate_random_qp(ProblemClass.HUBER, 64,
+                                      num_constraints=64, seed=seed)
+        qp = qps.make_qp(*data.dense(), dtype=np.float32)
+        st = qps.Settings(max_iterations=4000, eps_abs=1e-4, eps_rel=1e-4,
+                          rho=0.1, adaptive_rho=True, kkt_refinement_steps=2)
+        sol = qps.solve_jit(qp, st)
+        assert int(sol.info.status) in (2, 3), (seed, int(sol.info.status))
+    # f64 must NOT be floored: sigma_for is identity there.
+    assert qps.Settings().sigma_for(np.float64) == qps.Settings().sigma
+
+
 def test_segmented_host_rho_adaptation():
     # Device programs run rho-static; the host applies the candidate +
     # hysteresis rule between segments (the n=1e5 remote-TPU workaround).

@@ -20,7 +20,9 @@ def _fleet():
 
 def _setup(qp, settings):
     rho = jnp.full((B,), settings.rho, jnp.float32)
-    sigma = jnp.asarray(settings.sigma, jnp.float32)
+    # The solver applies the f32 sigma floor (settings.sigma_for); direct
+    # kernel calls must use the same effective sigma to match it.
+    sigma = jnp.asarray(settings.sigma_for(jnp.float32), jnp.float32)
     cache = kkt.cholesky_init(qp, rho, sigma, settings)
     return rho, cache
 
@@ -38,7 +40,8 @@ def test_fused_chunk_matches_xla_chunk():
     rho_row = jnp.broadcast_to(rho[:, None], (B, M))
     fx, fz, fy, fxp, fzp = fused_admm_chunk(
         cache["M_inv"], qp.A, qp.P, qp.q, qp.l, qp.u, x, z, y, rho_row, active,
-        K=st.check_interval, alpha=st.alpha, sigma=st.sigma, interpret=True)
+        K=st.check_interval, alpha=st.alpha,
+        sigma=st.sigma_for(jnp.float32), interpret=True)
 
     from quadraticprogramsolver_tpu.core.state import SolverState
 
