@@ -24,6 +24,9 @@ def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--n", type=int, default=100_000)
     p.add_argument("--eps", type=float, default=1e-4)
+    p.add_argument("--iters", type=int, default=500)
+    p.add_argument("--no-scaling", action="store_true",
+                   help="skip the host-side Ruiz pre-scaling")
     args = p.parse_args(argv)
 
     import jax
@@ -41,11 +44,26 @@ def main(argv=None):
           f"nnz(A)={data.A.nnz} in {time.perf_counter()-t0:.1f}s "
           f"(device {jax.devices()[0]})")
 
-    sqp = qps.make_sparse_qp(data.P, data.q, data.A, data.l, data.u,
-                             dtype=np.float32)
-    st = qps.Settings(max_iterations=500, eps_abs=args.eps, eps_rel=args.eps,
-                      rho=0.1, adaptive_rho=True, cg_eps=1e-6,
-                      cg_max_iterations=200)
+    scaling = None
+    if not args.no_scaling:
+        # Host-side Ruiz pre-scaling (OSQP §5.1): the ELL container stores
+        # the scaled problem; termination still runs on unscaled residuals
+        # (solve(scaling=...)). On badly-scaled sparse instances this cuts
+        # iterations by orders of magnitude (tests/test_scaling.py).
+        from quadraticprogramsolver_tpu.models.scaling import (
+            equilibrate_sparse_host)
+
+        t0 = time.perf_counter()
+        Ps, qs, As, ls, us, scaling = equilibrate_sparse_host(
+            data.P, data.q, data.A, data.l, data.u, 10)
+        print(f"ruiz pre-scaling (10 sweeps) in {time.perf_counter()-t0:.1f}s")
+        sqp = qps.make_sparse_qp(Ps, qs, As, ls, us, dtype=np.float32)
+    else:
+        sqp = qps.make_sparse_qp(data.P, data.q, data.A, data.l, data.u,
+                                 dtype=np.float32)
+    st = qps.Settings(max_iterations=args.iters, eps_abs=args.eps,
+                      eps_rel=args.eps, rho=0.1, adaptive_rho=True,
+                      cg_eps=1e-6, cg_max_iterations=200)
 
     from quadraticprogramsolver_tpu.models.admm import solve_segmented
 
@@ -54,7 +72,8 @@ def main(argv=None):
     # faults/hangs the worker outright (bisected: rho-static identical
     # program is stable), so rho adaptation runs on the HOST between
     # segments — same candidate + hysteresis rule at segment cadence.
-    kw = dict(segment_iterations=100, host_rho_adaptation=args.n >= 100_000)
+    kw = dict(segment_iterations=100, host_rho_adaptation=args.n >= 100_000,
+              scaling=scaling)
     sol = solve_segmented(sqp, st, **kw)
     float(np.asarray(sol.x.ravel()[0]))
     times = []

@@ -69,6 +69,12 @@ class SolverState:
     #: Optional per-check trace dict (res_prim/res_dual/rho, shape
     #: (num_checks, *B)); None unless Settings.record_history.
     history: object = None
+    #: Optional dict of the convergence-check matvec products at the current
+    #: iterate ({"Px": (*B, n), "Ax": (*B, m), "ATy": (*B, n)}); carried so
+    #: the infeasibility certificates can form delta products by linearity
+    #: (P dx = Px - Px_prev) instead of re-running three matvecs per check.
+    #: None unless Settings.check_infeasibility.
+    products: object = None
 
 
 @_pytree_dataclass

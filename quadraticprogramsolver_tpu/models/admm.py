@@ -61,10 +61,18 @@ def _init_state(qp: QP, settings: Settings, x0, backend, z0=None, y0=None,
     if settings.record_history:
         buf = lambda: jnp.full((settings.num_checks,) + batch, jnp.inf, dt)
         history = {"res_prim": buf(), "res_dual": buf(), "rho": buf()}
+    z = jnp.zeros(batch + (qp.m,), dt) if z0 is None else jnp.asarray(z0, dt)
+    y = jnp.zeros(batch + (qp.m,), dt) if y0 is None else jnp.asarray(y0, dt)
+    products = None
+    if settings.check_infeasibility:
+        # Products at the start iterate, so the first check's certificate
+        # deltas (P dx = Px - Px_prev etc.) have a correct base point.
+        products = {"Px": qp.matvec_P(x), "Ax": qp.matvec_A(x),
+                    "ATy": qp.matvec_At(y)}
     return SolverState(
         x=x,
-        z=jnp.zeros(batch + (qp.m,), dt) if z0 is None else jnp.asarray(z0, dt),
-        y=jnp.zeros(batch + (qp.m,), dt) if y0 is None else jnp.asarray(y0, dt),
+        z=z,
+        y=y,
         rho=rho,
         rho_cand=rho,
         status=jnp.zeros(batch, jnp.int32),
@@ -74,6 +82,7 @@ def _init_state(qp: QP, settings: Settings, x0, backend, z0=None, y0=None,
         iteration=jnp.zeros((), jnp.int32),
         kkt_cache=cache,
         history=history,
+        products=products,
     )
 
 
@@ -92,7 +101,12 @@ def _fused_chunk_ok(qp: QP, settings: Settings) -> bool:
 
 
 def _run_chunk(qp: QP, settings: Settings, backend, state: SolverState):
-    """check_interval masked ADMM iterations; returns new (x,z,y,xp,zp,cache)."""
+    """check_interval masked ADMM iterations.
+
+    Returns (x, z, y, xp, zp, cache, chunk_prods) where chunk_prods is
+    (Ax, ATy) computed inside the fused kernel (from the VMEM-resident A) or
+    None on the XLA path (the check recomputes them there).
+    """
     rho_row = jnp.broadcast_to(
         kkt_mod.rho_rows(qp, state.rho, settings),
         qp.batch_shape + (qp.m,))
@@ -100,13 +114,13 @@ def _run_chunk(qp: QP, settings: Settings, backend, state: SolverState):
         from ..ops.fused_admm import fused_admm_chunk
 
         active = state.status == Status.RUNNING
-        x, z, y, xp, zp = fused_admm_chunk(
+        x, z, y, xp, zp, Ax, ATy = fused_admm_chunk(
             state.kkt_cache["M_inv"], qp.A, qp.P, qp.q, qp.l, qp.u,
             state.x, state.z, state.y, rho_row, active,
             K=settings.check_interval, alpha=settings.alpha,
             sigma=settings.sigma_for(jnp.float32), refine=settings.kkt_refinement_steps,
             interpret=jax.default_backend() != "tpu")
-        return x, z, y, xp, zp, state.kkt_cache
+        return x, z, y, xp, zp, state.kkt_cache, (Ax, ATy)
 
     dt = qp.dtype
     alpha = jnp.asarray(settings.alpha, dt)
@@ -128,17 +142,23 @@ def _run_chunk(qp: QP, settings: Settings, backend, state: SolverState):
         return x, z, y, xp, zp, cache
 
     init = (state.x, state.z, state.y, state.x, state.z, state.kkt_cache)
-    return jax.lax.fori_loop(0, settings.check_interval, step, init)
+    return jax.lax.fori_loop(0, settings.check_interval, step, init) + (None,)
 
 
-def _infeasibility_certificates(qp: QP, settings: Settings, dx, dy):
+def _infeasibility_certificates(qp: QP, settings: Settings, dx, dy,
+                                Pdx, Adx, ATdy):
     """OSQP §3.4 iterate-difference infeasibility certificates.
 
     Primal infeasible: A'dy ~ 0 and u'(dy)+ + l'(dy)- < 0 (Farkas direction
     in the duals). Dual infeasible (primal unbounded): P dx ~ 0, q'dx < 0,
     and A dx compatible with the finite bounds. Infinite bounds require the
     corresponding certificate component to vanish. dx/dy here are the
-    per-chunk iterate differences (any nonzero multiple certifies).
+    per-chunk iterate differences (any nonzero multiple certifies);
+    Pdx/Adx/ATdy are their matvec products, formed by the caller as deltas
+    of cached per-check products (linearity: P dx = Px - Px_prev) rather
+    than three fresh matvecs. The f32 cancellation error in a delta is
+    ~eps*|Px|, far below the certificate thresholds on genuinely divergent
+    iterates (and the noise gates below reject near-converged lanes anyway).
     """
     dt = qp.dtype
     eps_p = jnp.asarray(settings.eps_prim_inf, dt)
@@ -156,13 +176,12 @@ def _infeasibility_certificates(qp: QP, settings: Settings, dx, dy):
     support = jnp.sum(term_u + term_l, axis=-1)
     prim_inf = (
         (ndy > 0)
-        & (inf_norm(qp.matvec_At(dy)) <= eps_p * ndy)
+        & (inf_norm(ATdy) <= eps_p * ndy)
         & (support <= -eps_p * ndy)
     )
 
     # --- dual infeasibility from dx ---
     ndx = inf_norm(dx)
-    Adx = qp.matvec_A(dx)
     tol_d = (eps_d * ndx)[..., None]
     fin_l = jnp.isfinite(qp.l)
     fin_u = jnp.isfinite(qp.u)
@@ -173,7 +192,7 @@ def _infeasibility_certificates(qp: QP, settings: Settings, dx, dy):
                             True)))
     dual_inf = (
         (ndx > 0)
-        & (inf_norm(qp.matvec_P(dx)) <= eps_d * ndx)
+        & (inf_norm(Pdx) <= eps_d * ndx)
         & (jnp.sum(qp.q * dx, axis=-1) <= -eps_d * ndx)
         & jnp.all(ok_rows, axis=-1)
     )
@@ -181,7 +200,7 @@ def _infeasibility_certificates(qp: QP, settings: Settings, dx, dy):
 
 
 def _check_convergence(qp: QP, settings: Settings, state: SolverState, x, z, y, xp, zp,
-                       term_scale=None):
+                       term_scale=None, chunk_prods=None):
     """Residuals, adaptive-rho candidate, and termination flags.
 
     Math follows `CheckConvergence` (SolveQuadraticProgram.jl:79-112),
@@ -196,9 +215,12 @@ def _check_convergence(qp: QP, settings: Settings, state: SolverState, x, z, y, 
     E^{-1}(A'x' - z') and D^{-1}(P'x' + q' + A''y')/c.
     """
     dt = qp.dtype
-    Ax = qp.matvec_A(x)
+    if chunk_prods is None:
+        Ax = qp.matvec_A(x)
+        ATy = qp.matvec_At(y)
+    else:                       # computed inside the fused chunk kernel
+        Ax, ATy = chunk_prods
     Px = qp.matvec_P(x)
-    ATy = qp.matvec_At(y)
 
     if term_scale is None:
         unsc_p = unsc_d = lambda v: v          # already unscaled
@@ -272,7 +294,12 @@ def _check_convergence(qp: QP, settings: Settings, state: SolverState, x, z, y, 
         # infeasible problem.
         dx = x - state.x
         dy = y - state.y
-        prim_inf, dual_inf = _infeasibility_certificates(qp, settings, dx, dy)
+        # Delta products by linearity against the products cached at the
+        # previous check (state.x/state.y are exactly that iterate).
+        prev = state.products
+        prim_inf, dual_inf = _infeasibility_certificates(
+            qp, settings, dx, dy,
+            Px - prev["Px"], Ax - prev["Ax"], ATy - prev["ATy"])
         # Anti-false-positive gates: near convergence the chunk deltas are
         # numerical noise, and on problems with near-degenerate rows noise
         # can satisfy the Farkas conditions. Require (a) the lane to be far
@@ -299,6 +326,9 @@ def _check_convergence(qp: QP, settings: Settings, state: SolverState, x, z, y, 
             "res_dual": history["res_dual"].at[idx].set(res_dual),
             "rho": history["rho"].at[idx].set(state.rho),
         }
+    products = state.products
+    if products is not None:
+        products = {"Px": Px, "Ax": Ax, "ATy": ATy}
     return SolverState(
         x=x,
         z=z,
@@ -312,6 +342,7 @@ def _check_convergence(qp: QP, settings: Settings, state: SolverState, x, z, y, 
         iteration=iteration,
         kkt_cache=state.kkt_cache,
         history=history,
+        products=products,
     )
 
 
@@ -350,11 +381,12 @@ def _maybe_refactor(qp: QP, settings: Settings, backend, state: SolverState) -> 
         status=state.status, iterations=state.iterations,
         res_prim=state.res_prim, res_dual=state.res_dual,
         iteration=state.iteration, kkt_cache=cache, history=state.history,
+        products=state.products,
     )
 
 
 def solve(qp: QP, settings: Settings = Settings(), x0=None, z0=None, y0=None,
-          rho0=None) -> Solution:
+          rho0=None, scaling=None) -> Solution:
     """Solve a (batched) box-constrained QP. Fully jittable; `settings` static.
 
     ``qp`` may be a dense batched :class:`QP` or a single large
@@ -365,6 +397,14 @@ def solve(qp: QP, settings: Settings = Settings(), x0=None, z0=None, y0=None,
     MPC-style sequences carrying duals *and* the adapted rho is what saves
     iterations — re-adapting rho from scratch can cost more than the warm
     primal saves.
+
+    ``scaling``: a :class:`~.scaling.ScalingData` when ``qp`` holds a
+    problem PRE-scaled by Ruiz equilibration (the sparse path:
+    ``equilibrate_sparse_host`` + ``make_sparse_qp`` store the scaled
+    values). Warm starts and the returned solution are in the ORIGINAL
+    (unscaled) space; termination tests run on unscaled residuals, exactly
+    like the dense ``Settings.scaling_iters`` path. Mutually exclusive with
+    ``scaling_iters > 0``.
     Returns a :class:`Solution` whose leaves carry the problem's batch shape.
     """
     # TPU: f32 matmuls default to a single bf16 MXU pass, which floors the
@@ -373,10 +413,29 @@ def solve(qp: QP, settings: Settings = Settings(), x0=None, z0=None, y0=None,
     # costs almost nothing there; the factor (n^3) pays, which
     # Settings.matmul_precision lets callers trade ("high" = bf16x3).
     with jax.default_matmul_precision(settings.matmul_precision):
-        return _solve_impl(qp, settings, x0, z0, y0, rho0)
+        return _solve_impl(qp, settings, x0, z0, y0, rho0, scaling)
 
 
-def _solve_impl(qp: QP, settings: Settings, x0, z0=None, y0=None, rho0=None) -> Solution:
+def _solve_impl(qp: QP, settings: Settings, x0, z0=None, y0=None, rho0=None,
+                scaling=None) -> Solution:
+    if scaling is not None:
+        if settings.scaling_iters > 0:
+            raise ValueError(
+                "pass either a pre-scaled problem (scaling=...) or "
+                "scaling_iters > 0, not both")
+        from .scaling import scale_iterates, unscale_iterates
+
+        xs, zs, ys = scale_iterates(scaling, x0, z0, y0)
+        sol = _solve_core(qp, settings, xs, zs, ys, rho0, term_scale=scaling)
+        x, z, y = unscale_iterates(scaling, sol.x, sol.z, sol.y)
+        # In-loop residuals are already unscaled (term_scale); the objective
+        # of the scaled problem is c times the original's.
+        info = SolveInfo(
+            status=sol.info.status, iterations=sol.info.iterations,
+            res_prim=sol.info.res_prim, res_dual=sol.info.res_dual,
+            rho=sol.info.rho, objective=sol.info.objective / scaling.c,
+            history=sol.info.history)
+        return Solution(x=x, z=z, y=y, info=info)
     if settings.scaling_iters > 0:
         if not qp.is_dense:
             raise ValueError("scaling_iters requires a dense QP")
@@ -415,13 +474,14 @@ def _solve_core(qp: QP, settings: Settings, x0, z0=None, y0=None, rho0=None,
 
     def body(st: SolverState):
         st = _maybe_refactor(qp, settings, backend, st)
-        x, z, y, xp, zp, cache = _run_chunk(qp, settings, backend, st)
+        x, z, y, xp, zp, cache, prods = _run_chunk(qp, settings, backend, st)
         st = SolverState(
             x=st.x, z=st.z, y=st.y, rho=st.rho, rho_cand=st.rho_cand,
             status=st.status, iterations=st.iterations, res_prim=st.res_prim,
             res_dual=st.res_dual, iteration=st.iteration, kkt_cache=cache,
-            history=st.history)
-        return _check_convergence(qp, settings, st, x, z, y, xp, zp, term_scale)
+            history=st.history, products=st.products)
+        return _check_convergence(qp, settings, st, x, z, y, xp, zp, term_scale,
+                                  chunk_prods=prods)
 
     state = jax.lax.while_loop(cond, body, state)
 
@@ -432,6 +492,14 @@ def _solve_core(qp: QP, settings: Settings, x0, z0=None, y0=None, rho0=None,
     x, y = state.x, state.y
     if settings.polish_iterations > 0:
         x, y = polish_fn(qp, settings, x, state.z, y, state.rho)
+        objective = qp.objective(x)
+    elif state.products is not None:
+        # Px was already computed at the final check for this exact x —
+        # reuse it instead of re-reading P for the whole fleet.
+        objective = 0.5 * jnp.sum(x * state.products["Px"], axis=-1) + jnp.sum(
+            qp.q * x, axis=-1)
+    else:
+        objective = qp.objective(x)
 
     info = SolveInfo(
         status=status,
@@ -439,7 +507,7 @@ def _solve_core(qp: QP, settings: Settings, x0, z0=None, y0=None, rho0=None,
         res_prim=state.res_prim,
         res_dual=state.res_dual,
         rho=state.rho,
-        objective=qp.objective(x),
+        objective=objective,
         history=state.history,
     )
     return Solution(x=x, z=state.z, y=y, info=info)
@@ -471,7 +539,8 @@ _rho_candidate_jit = jax.jit(_rho_candidate_jit)
 def solve_segmented(qp: QP, settings: Settings = Settings(),
                     segment_iterations: int = 100,
                     x0=None, z0=None, y0=None,
-                    host_rho_adaptation: bool = False) -> Solution:
+                    host_rho_adaptation: bool = False,
+                    scaling=None) -> Solution:
     """Host-driven segmented solve: run the device program in bounded
     segments, carrying (x, z, y, rho) between them.
 
@@ -496,6 +565,9 @@ def solve_segmented(qp: QP, settings: Settings = Settings(),
     re-entry, so their counts are accurate to within one check interval per
     extra segment.
 
+    ``scaling`` is forwarded to :func:`solve` (pre-scaled problems; iterates
+    cross segment boundaries in the unscaled space).
+
     ``record_history`` is rejected here: each segment allocates its own
     per-segment trace buffers, so a returned history would silently cover
     only the final segment while ``iterations`` is cumulative.
@@ -518,15 +590,24 @@ def solve_segmented(qp: QP, settings: Settings = Settings(),
         # (at most two compiled segment sizes).
         this_seg = min(seg, total - done_iters)
         sol = solve_jit(qp, dataclasses_replace(seg_settings, max_iterations=this_seg),
-                        x0, z0, y0, rho0)
+                        x0, z0, y0, rho0, scaling)
         status = np.asarray(sol.info.status)
         done_iters += this_seg
         if (status != Status.MAX_ITERATIONS).all():
             break
         x0, z0, y0, rho0 = sol.x, sol.z, sol.y, sol.info.rho
         if host_rho_adaptation and settings.adaptive_rho:
+            # The rho candidate is evaluated in the space the iteration runs
+            # in (the scaled space when the problem is pre-scaled) — same
+            # discipline as the in-loop adaptive rho.
+            if scaling is not None:
+                from .scaling import scale_iterates
+
+                cx, cz, cy = scale_iterates(scaling, x0, z0, y0)
+            else:
+                cx, cz, cy = x0, z0, y0
             cand = np.asarray(
-                _rho_candidate_jit(qp, x0, z0, y0, sol.info.rho))
+                _rho_candidate_jit(qp, cx, cz, cy, sol.info.rho))
             rho = np.asarray(sol.info.rho)
             f = settings.rho_factor
             trip = (cand * f < rho) | (cand > f * rho)

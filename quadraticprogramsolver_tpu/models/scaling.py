@@ -75,6 +75,70 @@ def equilibrate(qp: QP, num_iters: int = 10):
     return scaled, ScalingData(d=d, e=e, c=c)
 
 
+def equilibrate_sparse_host(P, q, A, l, u, num_iters: int = 10):
+    """Host-side modified Ruiz for scipy sparse problems (the large
+    matrix-free path).
+
+    Same math as :func:`equilibrate`, run once on CSR at construction time —
+    the ELL container then stores the *scaled* problem and the solver maps
+    residuals back through ``term_scale`` (solve(..., scaling=...)), so
+    termination stays on unscaled residuals (OSQP's discipline).
+
+    Returns (P_s, q_s, A_s, l_s, u_s, ScalingData) with scipy/numpy values;
+    feed the first five to :func:`~..core.sparse_problem.make_sparse_qp`.
+    """
+    import numpy as np
+    import scipy.sparse as sp
+
+    P = sp.csr_matrix(P, dtype=np.float64)
+    A = sp.csr_matrix(A, dtype=np.float64)
+    q = np.asarray(q, np.float64).copy()
+    n = q.shape[0]
+    m = A.shape[0]
+    d = np.ones(n)
+    e = np.ones(m)
+    c = 1.0
+
+    def col_abs_max(M):
+        # max |M_ij| per column; .max per axis on csc is efficient.
+        if M.nnz == 0:
+            return np.zeros(M.shape[1])
+        return np.abs(M).max(axis=0).toarray().ravel()
+
+    def row_abs_max(M):
+        if M.nnz == 0:
+            return np.zeros(M.shape[0])
+        return np.abs(M).max(axis=1).toarray().ravel()
+
+    for _ in range(num_iters):
+        col_P = col_abs_max(P)                     # symmetric, but exact mirror
+        col_A = col_abs_max(A) if m else np.zeros(n)
+        norms = np.maximum(col_P, col_A)
+        dx = np.where(norms > 0, 1.0 / np.sqrt(np.maximum(norms, 1e-30)), 1.0)
+        row_A = row_abs_max(A) if m else np.zeros(0)
+        dz = np.where(row_A > 0, 1.0 / np.sqrt(np.maximum(row_A, 1e-30)), 1.0)
+        Dx = sp.diags(dx)
+        P = Dx @ P @ Dx
+        if m:
+            A = sp.diags(dz) @ A @ Dx
+        q *= dx
+        d *= dx
+        e *= dz
+        mean_col = col_abs_max(P).mean() if n else 0.0
+        q_norm = np.abs(q).max() if n else 0.0
+        g_den = max(mean_col, q_norm)
+        g = 1.0 / max(g_den, 1e-30) if g_den > 0 else 1.0
+        P = g * P
+        q *= g
+        c *= g
+
+    l_s = e * np.asarray(l, np.float64)
+    u_s = e * np.asarray(u, np.float64)
+    scal = ScalingData(d=jnp.asarray(d), e=jnp.asarray(e),
+                       c=jnp.asarray(c))
+    return P.tocsr(), q, A.tocsr(), l_s, u_s, scal
+
+
 def scale_iterates(scaling: ScalingData, x=None, z=None, y=None):
     """Map unscaled warm starts into the scaled space."""
     xs = None if x is None else x / scaling.d

@@ -43,11 +43,11 @@ def _chunk_kernel(active_all_ref,                   # scalar-prefetch (B,) SMEM
     if refine > 0:
         (Minv_ref, A_ref, P_ref, q_ref, l_ref, u_ref, rho_ref,
          x_ref, z_ref, y_ref,
-         xo_ref, zo_ref, yo_ref, xpo_ref, zpo_ref) = refs
+         xo_ref, zo_ref, yo_ref, xpo_ref, zpo_ref, Axo_ref, ATyo_ref) = refs
     else:
         (Minv_ref, A_ref, q_ref, l_ref, u_ref, rho_ref,
          x_ref, z_ref, y_ref,
-         xo_ref, zo_ref, yo_ref, xpo_ref, zpo_ref) = refs
+         xo_ref, zo_ref, yo_ref, xpo_ref, zpo_ref, Axo_ref, ATyo_ref) = refs
         P_ref = None
     f32 = jnp.float32
     b = pl.program_id(0)
@@ -55,6 +55,15 @@ def _chunk_kernel(active_all_ref,                   # scalar-prefetch (B,) SMEM
     al = jnp.asarray(alpha, f32)
     al1 = jnp.asarray(1.0 - alpha, f32)
     sg = jnp.asarray(sigma, f32)
+
+    # Precision pinned: the ambient default_matmul_precision may be
+    # HIGH (bf16x3), which Mosaic's dot lowering does not implement.
+    hi = jax.lax.Precision.HIGHEST
+
+    def dot(a, b, dims):
+        return jax.lax.dot_general(
+            a, b, (dims, ((), ())), preferred_element_type=f32,
+            precision=hi)
 
     @pl.when(jnp.logical_not(active))
     def _():
@@ -73,15 +82,6 @@ def _chunk_kernel(active_all_ref,                   # scalar-prefetch (B,) SMEM
         u = u_ref[0]
         rho = rho_ref[0]      # (1, m) per-constraint penalties
         rho_inv = 1.0 / rho
-
-        # Precision pinned: the ambient default_matmul_precision may be
-        # HIGH (bf16x3), which Mosaic's dot lowering does not implement.
-        hi = jax.lax.Precision.HIGHEST
-
-        def dot(a, b, dims):
-            return jax.lax.dot_general(
-                a, b, (dims, ((), ())), preferred_element_type=f32,
-                precision=hi)
 
         def body(_, carry):
             x, z, y, _, _ = carry
@@ -110,6 +110,15 @@ def _chunk_kernel(active_all_ref,                   # scalar-prefetch (B,) SMEM
         xpo_ref[0] = xp
         zpo_ref[0] = zp
 
+    # Convergence-check products from the VMEM-resident A: the per-check
+    # residuals need A x and A'y anyway, and recomputing them in XLA re-reads
+    # A from HBM for the whole fleet. Computed for frozen lanes too (their
+    # x, y are the converged iterates, so the products — and the residuals
+    # derived from them — stay correct for history/reporting).
+    A = A_ref[0]
+    Axo_ref[0] = dot(xo_ref[0], A, ((1,), (1,)))
+    ATyo_ref[0] = dot(yo_ref[0], A, ((1,), (0,)))
+
 
 @functools.partial(
     jax.jit,
@@ -126,8 +135,10 @@ def fused_admm_chunk(Minv, A, P, q, l, u, x, z, y, rho_row, active,
       KKT solve. P is only an operand (DMA'd/resident) when refine > 0;
       VMEM per lane is n^2 + m*n floats (+ n^2 with refinement).
     Returns:
-      (x, z, y, x_prev, z_prev) after K iterations (prev = start of the last
-      iteration, for the ADMM fixed-point test).
+      (x, z, y, x_prev, z_prev, Ax, ATy) after K iterations (prev = start of
+      the last iteration, for the ADMM fixed-point test; Ax/ATy are the
+      convergence-check products of the returned x, y computed from the
+      VMEM-resident A).
     """
     B, n = q.shape
     m = l.shape[-1]
@@ -157,7 +168,7 @@ def fused_admm_chunk(Minv, A, P, q, l, u, x, z, y, rho_row, active,
                 + ([mat(n, n)] if refine > 0 else [])
                 + [vec(n), vec(m), vec(m), vec(m), vec(n), vec(m), vec(m)]
             ),
-            out_specs=[vec(n), vec(m), vec(m), vec(n), vec(m)],
+            out_specs=[vec(n), vec(m), vec(m), vec(n), vec(m), vec(m), vec(n)],
         ),
         out_shape=[
             jax.ShapeDtypeStruct((B, 1, n), f32),
@@ -165,6 +176,8 @@ def fused_admm_chunk(Minv, A, P, q, l, u, x, z, y, rho_row, active,
             jax.ShapeDtypeStruct((B, 1, m), f32),
             jax.ShapeDtypeStruct((B, 1, n), f32),
             jax.ShapeDtypeStruct((B, 1, m), f32),
+            jax.ShapeDtypeStruct((B, 1, m), f32),
+            jax.ShapeDtypeStruct((B, 1, n), f32),
         ],
         interpret=interpret,
     )(

@@ -38,7 +38,7 @@ def test_fused_chunk_matches_xla_chunk():
     active = jnp.array([True, True, False, True])
 
     rho_row = jnp.broadcast_to(rho[:, None], (B, M))
-    fx, fz, fy, fxp, fzp = fused_admm_chunk(
+    fx, fz, fy, fxp, fzp, fAx, fATy = fused_admm_chunk(
         cache["M_inv"], qp.A, qp.P, qp.q, qp.l, qp.u, x, z, y, rho_row, active,
         K=st.check_interval, alpha=st.alpha,
         sigma=st.sigma_for(jnp.float32), interpret=True)
@@ -53,7 +53,14 @@ def test_fused_chunk_matches_xla_chunk():
         iteration=jnp.zeros((), jnp.int32), kkt_cache=cache)
     st_plain = qps.Settings(rho=0.1, check_interval=25, kkt_refinement_steps=0)
     backend = kkt.get_backend(st_plain.kkt_backend, qp)
-    rx, rz, ry, rxp, rzp, _ = admm._run_chunk(qp, st_plain, backend, state)
+    rx, rz, ry, rxp, rzp, _, _ = admm._run_chunk(qp, st_plain, backend, state)
+
+    # Kernel-emitted convergence-check products must equal A x / A'y of the
+    # returned iterates (computed for frozen lanes too).
+    Ax_ref = jnp.einsum("bmn,bn->bm", qp.A, fx)
+    ATy_ref = jnp.einsum("bmn,bm->bn", qp.A, fy)
+    assert np.abs(np.asarray(fAx - Ax_ref)).max() <= 1e-4
+    assert np.abs(np.asarray(fATy - ATy_ref)).max() <= 1e-4
 
     for f, r, name in ((fx, rx, "x"), (fz, rz, "z"), (fy, ry, "y"),
                        (fxp, rxp, "xp"), (fzp, rzp, "zp")):

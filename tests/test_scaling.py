@@ -95,6 +95,64 @@ def test_scaling_unscaled_reporting():
     assert np.isclose(float(sol.info.objective), obj, rtol=1e-9)
 
 
+def test_sparse_equilibrate_matches_oracle_and_reports_unscaled():
+    """Pre-scaled sparse path (equilibrate_sparse_host + solve(scaling=...)):
+    solution matches the oracle on the ORIGINAL problem and reported
+    residuals/objective are unscaled."""
+    import scipy.sparse as sp
+
+    from quadraticprogramsolver_tpu.models.scaling import equilibrate_sparse_host
+
+    P, q, A, l, u = _badly_scaled_qp(seed=6, spread=3.0)
+    ref = solve_qp_reference(P, q, A, l, u, eps_abs=1e-11, eps_rel=1e-11, rho=0.1)
+    assert ref.status == 3
+    Ps, qs, As, ls, us, scal = equilibrate_sparse_host(
+        sp.csr_matrix(P), q, sp.csr_matrix(A), l, u, 10)
+    sqp = qps.make_sparse_qp(Ps, qs, As, ls, us, dtype=np.float64)
+    st = qps.Settings(max_iterations=50_000, eps_abs=1e-9, eps_rel=1e-9,
+                      rho=0.1, adaptive_rho=True, cg_eps=1e-12,
+                      cg_max_iterations=500)
+    sol = qps.solve_jit(sqp, st, None, None, None, None, scal)
+    assert bool(sol.info.solved), int(sol.info.status)
+    x = np.asarray(sol.x)
+    rel = np.abs(x - ref.x).max() / (np.abs(ref.x).max() + 1)
+    assert rel <= 1e-6, rel
+    rp = np.abs(A @ x - np.asarray(sol.z)).max()
+    rd = np.abs(P @ x + q + A.T @ np.asarray(sol.y)).max()
+    assert np.isclose(float(sol.info.res_prim), rp, rtol=1e-6, atol=1e-12)
+    assert np.isclose(float(sol.info.res_dual), rd, rtol=1e-6, atol=1e-12)
+    obj = 0.5 * x @ P @ x + q @ x
+    assert np.isclose(float(sol.info.objective), obj, rtol=1e-9)
+
+
+def test_sparse_equilibrate_reduces_iterations():
+    """The sparse pre-scaling must pay on badly-scaled problems, including
+    through solve_segmented with host-side rho adaptation (the n=1e5
+    configuration's exact code path)."""
+    import scipy.sparse as sp
+
+    from quadraticprogramsolver_tpu.models.admm import solve_segmented
+    from quadraticprogramsolver_tpu.models.scaling import equilibrate_sparse_host
+
+    # seed 8 / spread 5: the unscaled solve exhausts the full 20k budget
+    # while the pre-scaled one finishes in ~50 iterations.
+    P, q, A, l, u = _badly_scaled_qp(seed=8, spread=5.0)
+    st = qps.Settings(max_iterations=20_000, eps_abs=1e-6, eps_rel=1e-6,
+                      rho=0.1, adaptive_rho=True, cg_eps=1e-12,
+                      cg_max_iterations=500)
+    plain = qps.make_sparse_qp(sp.csr_matrix(P), q, sp.csr_matrix(A), l, u,
+                               dtype=np.float64)
+    it_base = int(qps.solve_jit(plain, st).info.iterations)
+    Ps, qs, As, ls, us, scal = equilibrate_sparse_host(
+        sp.csr_matrix(P), q, sp.csr_matrix(A), l, u, 10)
+    sqp = qps.make_sparse_qp(Ps, qs, As, ls, us, dtype=np.float64)
+    sol = solve_segmented(sqp, st, segment_iterations=500,
+                          host_rho_adaptation=True, scaling=scal)
+    assert bool(sol.info.solved)
+    it_scaled = int(sol.info.iterations)
+    assert it_scaled < it_base, (it_scaled, it_base)
+
+
 def test_scaled_termination_is_unscaled():
     """Weak-#6 regression: with scaling on, a lane may report SOLVED only if
     the ORIGINAL problem's residuals pass the eps tests (OSQP discipline —
