@@ -22,8 +22,10 @@ Math per iteration: SolveQuadraticProgram.jl:45-71, residuals :79-112.
 Polish (m:289-325) runs distributed: matrix-free MINRES on the masked KKT
 with psum'd inner products, so every shard iterates on identical global
 Lanczos scalars. Vector-rho weights equality rows locally (weights derive
-from the row's own l/u — no communication). Remaining limitation vs the
-single-device solver: no infeasibility certificates (flags 1-3 only).
+from the row's own l/u — no communication). Infeasibility certificates
+(OSQP §3.4, statuses 4/5) run distributed too: the row-space pieces of the
+Farkas tests (norms, bound-support function, the per-row compatibility
+test) reduce over the block axis.
 """
 
 from __future__ import annotations
@@ -282,6 +284,7 @@ def _solve_impl(qp: QP, settings: Settings, mesh: Mesh,
                 y = jnp.where(active, y_new, y)
                 return x, z, y, xp, zp
 
+            x_start, y_start = x, y   # chunk-start iterates for certificates
             x, z, y, xp, zp = jax.lax.fori_loop(
                 0, settings.check_interval, step, (x, z, y, x, z))
             it = it + settings.check_interval
@@ -315,6 +318,57 @@ def _solve_impl(qp: QP, settings: Settings, mesh: Mesh,
                      <= eps_admm + ulp * jnp.maximum(pmax(inf_norm(z)), 1.0)))
             status = jnp.where(act & solved, Status.SOLVED, status)
             status = jnp.where(act & fp, Status.SOLVED_ADMM, status)
+            if settings.check_infeasibility:
+                # OSQP §3.4 iterate-difference certificates, distributed:
+                # same math and anti-false-positive gates as
+                # models/admm.py:_infeasibility_certificates, with the
+                # row-space reductions (norms, support function, the
+                # every-row test) psum/pmax'd over the block axis. A
+                # certificate outranks the fixed-point flag but not SOLVED.
+                eps_p = jnp.asarray(settings.eps_prim_inf, dt)
+                eps_d = jnp.asarray(settings.eps_dual_inf, dt)
+                dy = y - y_start                     # row-sharded
+                dx = x - x_start                     # replicated
+                ndy = pmax(inf_norm(dy))
+                pos = jnp.maximum(dy, 0.0)
+                neg = jnp.minimum(dy, 0.0)
+                tol = (eps_p * ndy)[:, None]
+                term_u = jnp.where(jnp.isfinite(u), u * pos,
+                                   jnp.where(pos > tol, jnp.inf, 0.0))
+                term_l = jnp.where(jnp.isfinite(l), l * neg,
+                                   jnp.where(neg < -tol, jnp.inf, 0.0))
+                support = psum(jnp.sum(term_u + term_l, axis=-1))
+                Atdy = psum(matvec_t(A, dy))
+                prim_inf = ((ndy > 0)
+                            & (inf_norm(Atdy) <= eps_p * ndy)
+                            & (support <= -eps_p * ndy))
+                ndx = inf_norm(dx)
+                Adx = matvec(A, dx)
+                tol_d = (eps_d * ndx)[:, None]
+                fin_l = jnp.isfinite(l)
+                fin_u = jnp.isfinite(u)
+                ok_rows = jnp.where(
+                    fin_l & fin_u, jnp.abs(Adx) <= tol_d,
+                    jnp.where(fin_l, Adx >= -tol_d,
+                              jnp.where(fin_u, Adx <= tol_d, True)))
+                all_ok = psum(jnp.sum((~ok_rows).astype(jnp.int32),
+                                      axis=-1)) == 0
+                dual_inf = ((ndx > 0)
+                            & (inf_norm(matvec(Pm, dx)) <= eps_d * ndx)
+                            & (jnp.sum(q * dx, axis=-1) <= -eps_d * ndx)
+                            & all_ok)
+                noise = 16 * jnp.finfo(dt).eps
+                eps_prim = settings.eps_abs + settings.eps_rel * max_prim
+                eps_dual = settings.eps_abs + settings.eps_rel * max_dual
+                prim_inf &= (res_prim > 10 * eps_prim) & (
+                    ndy > noise * jnp.maximum(pmax(inf_norm(y)), 1.0))
+                dual_inf &= (res_dual > 10 * eps_dual) & (
+                    ndx > noise * jnp.maximum(inf_norm(x), 1.0))
+                overridable = act & (status != Status.SOLVED)
+                status = jnp.where(overridable & prim_inf,
+                                   Status.PRIMAL_INFEASIBLE, status)
+                status = jnp.where(overridable & dual_inf & ~prim_inf,
+                                   Status.DUAL_INFEASIBLE, status)
             status = status.astype(jnp.int32)
             newly = act & (status != Status.RUNNING)
             iters = jnp.where(newly, it, iters)

@@ -126,3 +126,17 @@ def test_block_split_returns_unpadded_duals():
     dist = solve_block_split(qp, SETTINGS)
     assert dist.z.shape == (30,)
     assert dist.y.shape == (30,)
+
+
+def test_block_split_infeasibility_certificate():
+    """OSQP §3.4 certificates run distributed: an infeasible instance must
+    flag PRIMAL_INFEASIBLE in block-split mode with the same flag as the
+    single-device solver (the PARITY 'flags 1-3 only' gap, now closed)."""
+    data = qps.generate_random_qp(qps.ProblemClass.EQUALITY_QP, 20, seed=13)
+    qp = qps.make_qp(*data.dense(), dtype=np.float64)
+    st = qps.Settings(max_iterations=2000, rho=0.1, adaptive_rho=True)
+    single = qps.solve_jit(qp, st)
+    assert int(single.info.status) in (4, 5)
+    dist = solve_block_split(qp, st)
+    assert int(dist.info.status) == int(single.info.status)
+    assert int(dist.info.iterations) == int(single.info.iterations)
