@@ -110,25 +110,31 @@ def main():
     log(f"device: {dev.platform} {getattr(dev, 'device_kind', '?')}")
     on_tpu = dev.platform == "tpu"
 
-    # rho=0.3 sits inside the adaptive-rho hysteresis band for this family:
+    # rho=0.4 sits inside the adaptive-rho hysteresis band for this family:
     # no mid-solve refactorization (the dominant cost) and p50 convergence in
-    # ~25 iterations (swept on-chip: 0.1 -> 1355/s, 0.3 -> 3228/s).
+    # ~26 iterations (round-2 sweep at ci=13: 0.2 -> 3508/s, 0.3 -> 7308/s,
+    # 0.4 -> 7665/s, 0.5 -> 7559/s). check_interval=13: finer exit
+    # granularity cuts the straggler lanes' wasted iterations (max 50 -> 39)
+    # and the marginal chunk+check is cheap (~36 ms per extra chunk at
+    # B=2048; ci swept 10/13/16/25 -> 13 best).
     settings = qps.Settings(
         max_iterations=2000,
         eps_abs=1e-4,
         eps_rel=1e-4,
-        rho=0.3,
+        rho=0.4,
         adaptive_rho=True,
-        check_interval=25,
+        check_interval=13,
         kkt_refinement_steps=0,
         fused_chunk=on_tpu,
     )
 
     best = None
     # Single fleet size to bound compile count: every dispatch through the
-    # remote-TPU relay costs ~27 ms latency, so large fleets amortize it;
-    # B=2048 measured best (512 -> 4227/s, 1024 -> 4803/s, 2048 -> 5019/s)
-    # and leaves HBM headroom for the AtA temporary.
+    # remote-TPU relay costs ~33 ms fixed latency, so large fleets amortize
+    # it; B=2048 measured best in the round-1 sweep (512 -> 4227/s, 1024 ->
+    # 4803/s, 2048 -> 5019/s; round-2 factor+check wins lift 2048 to ~7300/s)
+    # and leaves HBM headroom for the AtA temporary (B=4096 would not fit
+    # P + A + M + M_inv at n=512 in 16 GB).
     for batch in (2048,):
         try:
             t0 = time.perf_counter()

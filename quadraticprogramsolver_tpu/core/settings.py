@@ -120,15 +120,23 @@ class Settings:
     eps_prim_inf: float = 1e-4
     eps_dual_inf: float = 1e-4
     #: Modified-Ruiz equilibration sweeps before solving (OSQP §5.1; the
-    #: reference's unimplemented To-Do #2). 0 disables. Termination runs in
-    #: the scaled space (the reference-faithful criteria applied to the
-    #: scaled problem); reported residuals/objective are unscaled.
+    #: reference's unimplemented To-Do #2). 0 disables. Termination tests run
+    #: on UNSCALED residuals (OSQP's discipline; rho adaptation uses scaled
+    #: residuals); reported residuals/objective are unscaled.
     scaling_iters: int = 0
     #: Matmul accumulation for f32 solves on TPU: "highest" = full f32
     #: (6 bf16 MXU passes), "high" = bf16x3 (~f32 accuracy for
     #: well-conditioned products, ~2x faster on the factor path). Irrelevant
     #: on CPU/f64.
     matmul_precision: str = "highest"
+    #: Matmul accumulation for the normal-matrix build + SPD inverse only
+    #: (the factor path — the dominant setup cost). "default" (one bf16 MXU
+    #: pass, ~6x fewer passes than "highest") turns the cached M^{-1} into an
+    #: approximate inverse; pair it with kkt_refinement_steps >= 1, whose
+    #: residual is computed against the TRUE M from P and A at in-kernel
+    #: HIGHEST precision, so the KKT solves still converge to full-f32
+    #: solutions. None inherits matmul_precision.
+    factor_precision: str | None = None
     #: Per-constraint penalty weighting: equality rows (l == u) get
     #: rho * rho_eq_scale (OSQP's vector-rho scheme — the reference's To-Do
     #: #1 "paramRho as a matrix"). 1.0 reproduces the reference's scalar rho.

@@ -89,6 +89,19 @@ def _init_state(qp: QP, settings: Settings, x0, backend, z0=None, y0=None,
 def _fused_chunk_ok(qp: QP, settings: Settings) -> bool:
     from ..core.settings import KKTBackendKind
 
+    # Scoped-VMEM guard: with refinement on, P joins M^{-1} and A as a
+    # DMA'd per-lane operand, and Mosaic's buffered pipeline blows the
+    # ~16 MB scoped-VMEM budget well before the naive byte count does —
+    # measured: (n=512, m=256, refine>0) demands 18.8 MB and fails to
+    # compile, while refine=0 at the same shape fits. Gate on the measured
+    # boundary; oversize shapes fall back to the XLA chunk path.
+    mat_bytes = (qp.n * qp.n + qp.m * qp.n) * 4
+    if settings.kkt_refinement_steps > 0:
+        mat_bytes += qp.n * qp.n * 4
+        if mat_bytes > 2_000_000:
+            return False
+    elif mat_bytes > 6_500_000:
+        return False
     return (
         settings.fused_chunk
         and qp.is_dense

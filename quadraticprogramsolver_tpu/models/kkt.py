@@ -100,15 +100,29 @@ def _apply_normal(qp, rho_row, sigma, v):
 # --------------------------------------------------------------------------
 
 def _build_normal_matrix(qp: QP, rho_row, sigma):
-    """P + sigma*I + A' diag(rho_row) A (rho_row broadcasts a scalar rho)."""
+    """P + sigma*I + A' diag(rho_row) A (rho_row broadcasts a scalar rho).
+
+    No explicit symmetrization: P is validated symmetric at construction
+    (core/problem.py:validate_qp) and A'WA is symmetric up to f32 rounding
+    (~1e-7 relative), which the symmetric Gauss-Jordan sweep absorbs (it
+    reads one triangle's worth of information — ops/spd_kernels.py). A
+    `sym()` here costs two full passes over the (B, n, n) matrix on TPU
+    (XLA materializes the transposed copy before the add — measured ~10 ms
+    at B=2048, n=512)."""
     AtWA = jnp.einsum("...ki,...k,...kj->...ij", qp.A, rho_row, qp.A)
-    return add_scaled_identity(sym(qp.P + AtWA), sigma)
+    return add_scaled_identity(qp.P + AtWA, sigma)
 
 
 def cholesky_init(qp: QP, rho, sigma, settings: Settings):
     rho_row = jnp.broadcast_to(rho_rows(qp, rho, settings),
                                qp.batch_shape + (qp.m,))
-    return {"M_inv": spd_inverse(_build_normal_matrix(qp, rho_row, sigma))}
+    # The factor path may run at a lower matmul precision than the rest of
+    # the solve (Settings.factor_precision): M^{-1} only needs to be a good
+    # preconditioner when refinement is on, and the refinement residual is
+    # evaluated against the true M at HIGHEST inside the chunk kernel.
+    prec = settings.factor_precision or settings.matmul_precision
+    with jax.default_matmul_precision(prec):
+        return {"M_inv": spd_inverse(_build_normal_matrix(qp, rho_row, sigma))}
 
 
 def cholesky_refactor(cache, qp: QP, rho, sigma, settings: Settings):

@@ -44,7 +44,7 @@ import jax.numpy as jnp
 from ..core.problem import ProxQPProblem
 from ..core.settings import ProxQPSettings
 from ..core.pytree import pytree_dataclass as _pytree_dataclass
-from ..ops.linalg import add_scaled_identity, inf_norm, matvec, matvec_t, spd_inverse, sym
+from ..ops.linalg import add_scaled_identity, inf_norm, matvec, matvec_t, spd_inverse
 
 
 @_pytree_dataclass
@@ -120,10 +120,14 @@ def warm_start_operator(prob, settings: ProxQPSettings):
 
 
 def _build_M_inv(prob: ProxQPProblem, rho, sigma):
+    # No explicit symmetrization: gram products are symmetric to f32
+    # rounding and P is validated at construction; a sym() here costs two
+    # extra full passes over the (B, n, n) matrix on TPU (XLA materializes
+    # the transposed copy — see models/kkt.py:_build_normal_matrix).
     AtA = jnp.einsum("...ki,...kj->...ij", prob.A, prob.A)
     CtC = jnp.einsum("...ki,...kj->...ij", prob.C, prob.C)
-    M = prob.P + rho[..., None, None] * sym(AtA + CtC)
-    return spd_inverse(add_scaled_identity(sym(M), sigma))
+    M = prob.P + rho[..., None, None] * (AtA + CtC)
+    return spd_inverse(add_scaled_identity(M, sigma))
 
 
 def _apply_M(prob, rho, sigma, v):
