@@ -21,10 +21,17 @@ SolveQuadraticProgram.jl:54-61):
 Converged lanes skip the whole chunk via @pl.when (per-lane predication the
 XLA path can only emulate with where-masking).
 
+**Multi-lane interleaving** (``lanes`` > 1): a single lane's iteration is a
+chain of dependent (1, n)-row dots — the MXU sits mostly idle between them
+(measured ~6 TFLOP/s effective at lanes=1). Packing `lanes` independent
+lanes per grid step and emitting their dot chains stage-interleaved gives
+the scheduler independent work to overlap. VMEM per program scales with
+`lanes`; a pair/quad is predicated off only when ALL its lanes are frozen.
+
 Shapes must be padded so n and m are multiples of 128 (lane width) — use
 core.problem.pad_qp. VMEM per lane: (n^2 + mn + small) * 4 bytes; with
-double buffering this caps n around 1024 for f32, which covers the dense
-direct regime (larger problems take the CG path anyway).
+double buffering this caps lanes*n around 1024 for f32 (larger problems
+take the CG path anyway).
 """
 
 from __future__ import annotations
@@ -38,7 +45,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _chunk_kernel(active_all_ref,                   # scalar-prefetch (B,) SMEM
-                  *refs, K: int, alpha: float, sigma: float, refine: int):
+                  *refs, K: int, alpha: float, sigma: float, refine: int,
+                  lanes: int):
     # P is only an operand (and only DMA'd) when refinement is on.
     if refine > 0:
         (Minv_ref, A_ref, P_ref, q_ref, l_ref, u_ref, rho_ref,
@@ -51,7 +59,11 @@ def _chunk_kernel(active_all_ref,                   # scalar-prefetch (B,) SMEM
         P_ref = None
     f32 = jnp.float32
     b = pl.program_id(0)
-    active = active_all_ref[b] != 0
+    L = lanes
+    act = [active_all_ref[b * L + i] != 0 for i in range(L)]
+    any_active = act[0]
+    for a in act[1:]:
+        any_active = jnp.logical_or(any_active, a)
     al = jnp.asarray(alpha, f32)
     al1 = jnp.asarray(1.0 - alpha, f32)
     sg = jnp.asarray(sigma, f32)
@@ -65,7 +77,7 @@ def _chunk_kernel(active_all_ref,                   # scalar-prefetch (B,) SMEM
             a, b, (dims, ((), ())), preferred_element_type=f32,
             precision=hi)
 
-    @pl.when(jnp.logical_not(active))
+    @pl.when(jnp.logical_not(any_active))
     def _():
         xo_ref[:] = x_ref[:]
         zo_ref[:] = z_ref[:]
@@ -73,59 +85,71 @@ def _chunk_kernel(active_all_ref,                   # scalar-prefetch (B,) SMEM
         xpo_ref[:] = x_ref[:]
         zpo_ref[:] = z_ref[:]
 
-    @pl.when(active)
+    @pl.when(any_active)
     def _():
-        Minv = Minv_ref[0]
-        A = A_ref[0]
-        q = q_ref[0]          # vector refs are (1, 1, len); [0] -> (1, len)
-        l = l_ref[0]
-        u = u_ref[0]
-        rho = rho_ref[0]      # (1, m) per-constraint penalties
-        rho_inv = 1.0 / rho
+        A = [A_ref[i] for i in range(L)]
+        Minv = [Minv_ref[i] for i in range(L)]
+        q = [q_ref[i] for i in range(L)]   # vector refs are (L, 1, len); [i] -> (1, len)
+        lo = [l_ref[i] for i in range(L)]
+        up = [u_ref[i] for i in range(L)]
+        rho = [rho_ref[i] for i in range(L)]   # (1, m) per-constraint penalties
+        rho_inv = [1.0 / r for r in rho]
 
         def body(_, carry):
-            x, z, y, _, _ = carry
-            t = rho * z - y                                        # (1, m)
-            rhs = sg * x - q + dot(t, A, ((1,), (0,)))             # (1, n)
-            xx = dot(rhs, Minv, ((1,), (0,)))
-            for _i in range(refine):
+            x, z, y = carry[0], carry[1], carry[2]
+            # Stage-interleaved across lanes: each stage emits L independent
+            # dots back-to-back so the MXU pipeline stays fed.
+            t = [rho[i] * z[i] - y[i] for i in range(L)]               # (1, m)
+            rhs = [sg * x[i] - q[i] + dot(t[i], A[i], ((1,), (0,)))
+                   for i in range(L)]                                  # (1, n)
+            xx = [dot(rhs[i], Minv[i], ((1,), (0,))) for i in range(L)]
+            for _r in range(refine):
                 # r = rhs - M xx with M = P + sigma*I + A'(rho o (A .))
-                Axx = dot(xx, A, ((1,), (1,)))                     # (1, m)
-                Mxx = (dot(xx, P_ref[0], ((1,), (0,))) + sg * xx
-                       + dot(rho * Axx, A, ((1,), (0,))))
-                xx = xx + dot(rhs - Mxx, Minv, ((1,), (0,)))
-            zz = dot(xx, A, ((1,), (1,)))
+                Axx = [dot(xx[i], A[i], ((1,), (1,))) for i in range(L)]
+                Mxx = [dot(xx[i], P_ref[i], ((1,), (0,))) + sg * xx[i]
+                       + dot(rho[i] * Axx[i], A[i], ((1,), (0,)))
+                       for i in range(L)]
+                xx = [xx[i] + dot(rhs[i] - Mxx[i], Minv[i], ((1,), (0,)))
+                      for i in range(L)]
+            zz = [dot(xx[i], A[i], ((1,), (1,))) for i in range(L)]
             xp, zp = x, z
-            x = al * xx + al1 * xp
-            z = jnp.clip(al * zz + al1 * zp + rho_inv * y, l, u)
-            y = y + rho * (al * zz + al1 * zp - z)
+            x = tuple(al * xx[i] + al1 * xp[i] for i in range(L))
+            z = tuple(jnp.clip(al * zz[i] + al1 * zp[i] + rho_inv[i] * y[i],
+                               lo[i], up[i]) for i in range(L))
+            y = tuple(y[i] + rho[i] * (al * zz[i] + al1 * zp[i] - z[i])
+                      for i in range(L))
             return x, z, y, xp, zp
 
-        x0, z0, y0 = x_ref[0], z_ref[0], y_ref[0]
+        x0 = tuple(x_ref[i] for i in range(L))
+        z0 = tuple(z_ref[i] for i in range(L))
+        y0 = tuple(y_ref[i] for i in range(L))
         x, z, y, xp, zp = jax.lax.fori_loop(
             0, K, body, (x0, z0, y0, x0, z0))
-        xo_ref[0] = x
-        zo_ref[0] = z
-        yo_ref[0] = y
-        xpo_ref[0] = xp
-        zpo_ref[0] = zp
+        for i in range(L):
+            # Per-lane predication within the pack: frozen lanes pass through.
+            xo_ref[i] = jnp.where(act[i], x[i], x_ref[i])
+            zo_ref[i] = jnp.where(act[i], z[i], z_ref[i])
+            yo_ref[i] = jnp.where(act[i], y[i], y_ref[i])
+            xpo_ref[i] = jnp.where(act[i], xp[i], x_ref[i])
+            zpo_ref[i] = jnp.where(act[i], zp[i], z_ref[i])
 
     # Convergence-check products from the VMEM-resident A: the per-check
     # residuals need A x and A'y anyway, and recomputing them in XLA re-reads
     # A from HBM for the whole fleet. Computed for frozen lanes too (their
     # x, y are the converged iterates, so the products — and the residuals
     # derived from them — stay correct for history/reporting).
-    A = A_ref[0]
-    Axo_ref[0] = dot(xo_ref[0], A, ((1,), (1,)))
-    ATyo_ref[0] = dot(yo_ref[0], A, ((1,), (0,)))
+    for i in range(lanes):
+        A_i = A_ref[i]
+        Axo_ref[i] = dot(xo_ref[i], A_i, ((1,), (1,)))
+        ATyo_ref[i] = dot(yo_ref[i], A_i, ((1,), (0,)))
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("K", "alpha", "sigma", "refine", "interpret"))
+    static_argnames=("K", "alpha", "sigma", "refine", "lanes", "interpret"))
 def fused_admm_chunk(Minv, A, P, q, l, u, x, z, y, rho_row, active,
                      *, K: int, alpha: float, sigma: float, refine: int = 0,
-                     interpret: bool = False):
+                     lanes: int = 1, interpret: bool = False):
     """Run K fused ADMM iterations for every active lane.
 
     Args:
@@ -134,6 +158,7 @@ def fused_admm_chunk(Minv, A, P, q, l, u, x, z, y, rho_row, active,
       active: (B,) bool; refine: in-kernel iterative-refinement passes per
       KKT solve. P is only an operand (DMA'd/resident) when refine > 0;
       VMEM per lane is n^2 + m*n floats (+ n^2 with refinement).
+      lanes: independent lanes interleaved per grid step (B must divide).
     Returns:
       (x, z, y, x_prev, z_prev, Ax, ATy) after K iterations (prev = start of
       the last iteration, for the ADMM fixed-point test; Ax/ATy are the
@@ -144,18 +169,20 @@ def fused_admm_chunk(Minv, A, P, q, l, u, x, z, y, rho_row, active,
     m = l.shape[-1]
     if n % 128 or m % 128:
         raise ValueError(f"fused chunk needs n, m multiples of 128; got {(n, m)}")
+    if B % lanes:
+        raise ValueError(f"batch {B} not divisible by lanes={lanes}")
     f32 = jnp.float32
     kernel = functools.partial(_chunk_kernel, K=K, alpha=alpha, sigma=sigma,
-                               refine=refine)
+                               refine=refine, lanes=lanes)
 
-    grid = (B,)
+    grid = (B // lanes,)
     # index_map receives (grid_idx, *scalar_prefetch_refs) under
     # PrefetchScalarGridSpec — hence the *_ tail. Vectors carry a singleton
-    # sublane axis (B, 1, len) so each (1, 1, len) block's trailing dims
+    # sublane axis (B, 1, len) so each (lanes, 1, len) block's trailing dims
     # equal the array's (Mosaic tiling constraint).
-    mat = lambda r, c: pl.BlockSpec((1, r, c), lambda b, *_: (b, 0, 0),
+    mat = lambda r, c: pl.BlockSpec((lanes, r, c), lambda b, *_: (b, 0, 0),
                                     memory_space=pltpu.VMEM)
-    vec = lambda c: pl.BlockSpec((1, 1, c), lambda b, *_: (b, 0, 0),
+    vec = lambda c: pl.BlockSpec((lanes, 1, c), lambda b, *_: (b, 0, 0),
                                  memory_space=pltpu.VMEM)
 
     out = pl.pallas_call(

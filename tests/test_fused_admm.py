@@ -94,6 +94,30 @@ def test_full_solve_with_fused_chunk():
     assert dev <= 5e-4, dev
 
 
+def test_fused_chunk_lanes_match():
+    # Multi-lane interleaved packing must be numerically identical to
+    # lanes=1 and preserve per-lane frozen passthrough inside a pack.
+    st = qps.Settings(rho=0.1, check_interval=25, kkt_refinement_steps=0)
+    qp = _fleet()
+    rho, cache = _setup(qp, st)
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.standard_normal((B, N)), jnp.float32)
+    z = jnp.asarray(rng.standard_normal((B, M)), jnp.float32)
+    y = jnp.asarray(rng.standard_normal((B, M)), jnp.float32)
+    active = jnp.array([True, False, True, True])
+    rho_row = jnp.broadcast_to(rho[:, None], (B, M))
+    args = (cache["M_inv"], qp.A, qp.P, qp.q, qp.l, qp.u, x, z, y, rho_row,
+            active)
+    kw = dict(K=st.check_interval, alpha=st.alpha,
+              sigma=st.sigma_for(jnp.float32), interpret=True)
+    o1 = fused_admm_chunk(*args, lanes=1, **kw)
+    for lanes in (2, 4):
+        oL = fused_admm_chunk(*args, lanes=lanes, **kw)
+        for a, b in zip(o1, oL):
+            assert np.abs(np.asarray(a) - np.asarray(b)).max() <= 1e-5
+        assert np.array_equal(np.asarray(oL[0][1]), np.asarray(x[1]))
+
+
 def test_fused_fallback_conditions():
     # f64 -> not eligible; unpadded shapes -> not eligible.
     qp64 = qps.generate_batch(qps.ProblemClass.RANDOM_QP, batch=2,
