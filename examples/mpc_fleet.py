@@ -1,0 +1,138 @@
+"""Example: a sharded fleet of warm-started MPC sequences in one program.
+
+Receding-horizon tracking control of B independent double-integrator plants
+(scenarios), each re-solving its condensed input-constrained MPC QP at every
+tick with drifting targets. The canonical TPU composition of two framework
+axes:
+
+  * time axis  -> `frontends/sequence.solve_sequence` (`lax.scan` carrying
+    (x, z, y, rho) between ticks — the warm-start role of the reference's
+    ``vX`` argument, SolveQuadraticProgram.jl:14)
+  * fleet axis -> `parallel/mesh.shard_fleet` (GSPMD NamedSharding over the
+    device mesh; each device owns a slice of the scenarios)
+
+The whole (T ticks) x (B scenarios) workload compiles to ONE XLA program
+with no host round-trips.
+
+    python examples/mpc_fleet.py            # 8-virtual-device CPU mesh
+    JAX_PLATFORMS=axon python examples/mpc_fleet.py   # real TPU
+
+MPC formulation (condensed): double integrator s' = [[1,dt],[0,1]] s +
+[dt^2/2, dt] u, horizon H, decision variables = inputs u_0..u_{H-1},
+
+    min_u 0.5 u'(G'QG + R)u + (G'Q(F s_t - r_t))'u   s.t. |u| <= u_max
+
+where G/F map inputs/initial state to the stacked predicted positions.
+"""
+
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def build_condensed_mpc(H, dt_s, q_w, r_w):
+    """Condensed matrices: P (H,H), and (F, G) with pos = F s0 + G u."""
+    A = np.array([[1.0, dt_s], [0.0, 1.0]])
+    Bv = np.array([0.5 * dt_s**2, dt_s])
+    # state_k = A^k s0 + sum_j A^(k-1-j) B u_j ; we track position (row 0).
+    pows = [np.linalg.matrix_power(A, k) for k in range(H + 1)]
+    F = np.stack([pows[k + 1][0, :] for k in range(H)])          # (H, 2)
+    G = np.zeros((H, H))
+    for k in range(H):
+        for j in range(k + 1):
+            G[k, j] = (pows[k - j] @ Bv)[0]
+    P = q_w * G.T @ G + r_w * np.eye(H)
+    return P, F, G
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    if jax.default_backend() != "tpu":
+        # 8 virtual CPU devices when run outside the TPU env (see README).
+        pass
+
+    import quadraticprogramsolver_tpu as qps
+    from quadraticprogramsolver_tpu.frontends.sequence import solve_sequence_jit
+    from quadraticprogramsolver_tpu.parallel.mesh import make_fleet_mesh, shard_fleet
+
+    B = 32          # scenarios (fleet axis, sharded over the mesh)
+    T = 40          # MPC ticks (time axis, lax.scan)
+    H = 16          # horizon (QP size n = H)
+    dt_s, u_max = 0.1, 3.0
+
+    P, F, G = build_condensed_mpc(H, dt_s, q_w=1.0, r_w=0.05)
+    rng = np.random.default_rng(0)
+    targets = rng.uniform(-0.6, 0.6, B)              # per-scenario setpoint
+
+    # Simulate the closed loop on the host to produce the drifting q_t
+    # sequence (in a real deployment each tick's q comes from the measured
+    # state; here we roll the plant forward with the previous tick's u0).
+    A2 = np.array([[1.0, dt_s], [0.0, 1.0]])
+    Bv = np.array([0.5 * dt_s**2, dt_s])
+    s = np.zeros((B, 2))
+    qs, states = [], []
+    u_prev = np.zeros(B)
+    for t in range(T):
+        r = np.tile(targets[:, None], (1, H))        # constant reference
+        q_t = (G.T @ (1.0 * (F @ s.T - r.T))).T      # (B, H)
+        qs.append(q_t)
+        states.append(s.copy())
+        # apply a crude proportional input for the host-side rollout; the
+        # QP solution below is what a controller would actually apply.
+        u_prev = np.clip(1.0 * (targets - s[:, 0]) - 0.6 * s[:, 1], -u_max, u_max)
+        s = s @ A2.T + np.outer(u_prev, Bv)
+
+    qp_seq = qps.QP(
+        P=jnp.asarray(np.tile(P, (T, B, 1, 1)), jnp.float32),
+        q=jnp.asarray(np.stack(qs), jnp.float32),
+        A=jnp.asarray(np.tile(np.eye(H), (T, B, 1, 1)), jnp.float32),
+        l=jnp.full((T, B, H), -u_max, jnp.float32),
+        u=jnp.full((T, B, H), u_max, jnp.float32),
+    )
+
+    mesh = make_fleet_mesh()
+    # Shard the fleet axis (axis 1 — axis 0 is time) on every leaf.
+    from jax.sharding import NamedSharding, PartitionSpec as Pspec
+
+    spec = lambda nd: NamedSharding(mesh, Pspec(None, mesh.axis_names[0],
+                                                *([None] * (nd - 2))))
+    qp_seq = jax.tree.map(
+        lambda x: jax.device_put(x, spec(x.ndim)), qp_seq)
+
+    # check_interval=5: fine exit granularity makes the warm-start payoff
+    # visible in the per-tick iteration counts (these QPs converge within
+    # a handful of iterations once warm).
+    st = qps.Settings(max_iterations=1000, eps_abs=1e-5, eps_rel=1e-5,
+                      rho=0.1, adaptive_rho=True, check_interval=5)
+    import time
+
+    # carry_rho=False: on this workload carrying the adapted rho between
+    # ticks costs ~30% more iterations than carrying the iterates alone
+    # (see frontends/sequence.py docstring).
+    sols = solve_sequence_jit(qp_seq, st, carry_rho=False)
+    jax.block_until_ready(sols.x)
+    t0 = time.perf_counter()
+    sols = solve_sequence_jit(qp_seq, st, carry_rho=False)
+    jax.block_until_ready(sols.x)
+    wall = time.perf_counter() - t0
+
+    status = np.asarray(sols.info.status)            # (T, B)
+    iters = np.asarray(sols.info.iterations)
+    assert (status >= 2).all(), "unsolved tick"
+    u0 = np.asarray(sols.x)[:, :, 0]                 # applied input per tick
+    print(f"mesh: {mesh.devices.ravel().size} devices; fleet B={B}, ticks T={T}, n={H}")
+    print(f"solved {T * B} QPs in {wall*1e3:.0f} ms "
+          f"({T * B / wall:.0f} solves/s) — one compiled program")
+    print(f"iterations: tick0 p50={np.median(iters[0]):.0f}, "
+          f"warm-started p50 over ticks 1+ = {np.median(iters[1:]):.0f}")
+    print(f"|u0| respects bound: max {np.abs(u0).max():.3f} <= {u_max}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -26,13 +26,21 @@ def warm_start_from(sol: Solution):
 
 
 def solve_sequence(qp_seq: QP, settings: Settings = Settings(),
-                   init=None) -> Solution:
+                   init=None, carry_rho: bool = True) -> Solution:
     """Solve a time sequence of QPs, warm-starting each from its predecessor.
 
     ``qp_seq`` leaves carry a leading time axis: P (T, *B, n, n), etc. The
     scan carries (x, z, y); returned Solution leaves carry (T, *B, ...).
     Fully jittable — an MPC horizon (or a sliding benchmark sweep) runs as
     one compiled program with no host round-trips.
+
+    ``carry_rho`` additionally carries the adapted per-lane rho between
+    ticks. Whether that pays is workload-dependent: when consecutive QPs
+    are near-identical the adapted rho skips the re-adaptation transient,
+    but the ratio-based update is noisy near convergence, and on the
+    examples/mpc_fleet.py tracking problem carrying it costs ~30% MORE
+    total iterations than carrying the iterates alone (measured: 21015 vs
+    15795 over 40x32 solves). Measure per workload.
     """
     T = qp_seq.q.shape[0]
     batch = qp_seq.q.shape[1:-1]
@@ -49,13 +57,13 @@ def solve_sequence(qp_seq: QP, settings: Settings = Settings(),
 
     def step(carry, qp_t):
         x, z, y, rho = carry
-        # Carry the adapted rho too: re-adapting from settings.rho each tick
-        # costs more iterations than the warm primal/dual saves.
-        sol = admm.solve(qp_t, settings, x0=x, z0=z, y0=y, rho0=rho)
+        sol = admm.solve(qp_t, settings, x0=x, z0=z, y0=y,
+                         rho0=rho if carry_rho else None)
         return (sol.x, sol.z, sol.y, sol.info.rho), sol
 
     _, sols = jax.lax.scan(step, (x0, z0, y0, rho0), qp_seq)
     return sols
 
 
-solve_sequence_jit = jax.jit(solve_sequence, static_argnames=("settings",))
+solve_sequence_jit = jax.jit(solve_sequence,
+                             static_argnames=("settings", "carry_rho"))

@@ -69,6 +69,11 @@ def test_sequence_warm_start_saves_iterations():
         one = qps.QP(*(leaf[t] for leaf in (seq.P, seq.q, seq.A, seq.l, seq.u)))
         cold_iters.append(int(qps.solve_jit(one, SETTINGS).info.iterations))
     assert warm_iters[1:].sum() <= sum(cold_iters[1:]), (warm_iters, cold_iters)
+    # carry_rho=False (fresh rho each tick, iterates still carried) must
+    # produce the same solutions — it only changes the iteration path.
+    no_rho = solve_sequence_jit(seq, SETTINGS, carry_rho=False)
+    dev = np.abs(np.asarray(no_rho.x) - np.asarray(warm.x)).max()
+    assert dev <= 1e-6, dev
 
 
 def test_warm_start_from_solution_roundtrip(tmp_path):
