@@ -187,7 +187,11 @@ class SparseProxQP:
 
 
 def _to_ell(M, dtype) -> tuple[np.ndarray, np.ndarray]:
-    """scipy sparse -> (vals (rows, k), cols (rows, k)) with zero padding."""
+    """scipy sparse -> (vals (rows, k), cols (rows, k)) with zero padding.
+
+    Vectorized scatter (no per-row Python loop — at n=1e5 the loop costs
+    seconds of setup): entry j of row i lands at flat position i*k + (j -
+    indptr[i])."""
     import scipy.sparse as sp
 
     M = sp.csr_matrix(M)
@@ -197,11 +201,11 @@ def _to_ell(M, dtype) -> tuple[np.ndarray, np.ndarray]:
     k = max(int(counts.max()) if rows else 0, 1)
     vals = np.zeros((rows, k), dtype)
     cols = np.zeros((rows, k), np.int32)
-    for i in range(rows):
-        lo, hi = M.indptr[i], M.indptr[i + 1]
-        c = hi - lo
-        vals[i, :c] = M.data[lo:hi]
-        cols[i, :c] = M.indices[lo:hi]
+    if M.nnz:
+        row_of = np.repeat(np.arange(rows), counts)
+        offset = np.arange(M.nnz) - np.repeat(M.indptr[:-1], counts)
+        vals[row_of, offset] = M.data
+        cols[row_of, offset] = M.indices
     return vals, cols
 
 
