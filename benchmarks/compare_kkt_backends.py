@@ -55,7 +55,13 @@ def main(argv=None):
     x = jnp.asarray(rng.standard_normal(qp1.n))
     z = jnp.asarray(rng.standard_normal(qp1.m))
     y = jnp.asarray(rng.standard_normal(qp1.m))
-    rho_val, sigma = 0.37, 1e-6
+    rho_val = 0.37
+    # The dense reference must use the backend's EFFECTIVE sigma: solve()
+    # applies the dtype-aware floor internally (Settings.sigma_for), so a
+    # raw 1e-6 here would compare against a different KKT system in f32
+    # (and the refinement would faithfully converge to the floored-sigma
+    # solution, ~1e-3 away).
+    sigma = qps.Settings().sigma_for(qp1.dtype)
     P, q, A = data.P.toarray(), data.q, data.A.toarray()
     K = np.block([[P + sigma * np.eye(qp1.n), A.T],
                   [A, -np.eye(qp1.m) / rho_val]])
@@ -66,8 +72,12 @@ def main(argv=None):
         st = qps.Settings(kkt_backend=kind, cg_eps=1e-12, cg_max_iterations=2000)
         b = kkt.get_backend(kind, qp1)
         rho = jnp.full((), rho_val, qp1.dtype)
-        cache = b.init(qp1, rho, jnp.asarray(sigma, qp1.dtype), st)
-        xx, _, _ = b.solve(cache, qp1, x, z, y, rho, st)
+        # Same precision regime as solve() (models/admm.py): on TPU the
+        # ambient default is a single bf16 pass, which floors a raw backend
+        # call at ~1e-3 — not how the backends ever run inside the solver.
+        with jax.default_matmul_precision(st.matmul_precision):
+            cache = b.init(qp1, rho, jnp.asarray(sigma, qp1.dtype), st)
+            xx, _, _ = b.solve(cache, qp1, x, z, y, rho, st)
         scale = np.abs(xx_ref).max() + 1.0
         err = np.abs(np.asarray(xx) - xx_ref).max() / scale
         print(f"correctness {kind.value:>10}: rel|xx - dense|_inf = {err:.2e}")

@@ -90,6 +90,11 @@ def solve_fleet_block_split(qp: QP, settings: Settings = Settings(),
 
 def _solve_impl(qp: QP, settings: Settings, mesh: Mesh,
                 fleet_axis: str | None, block_axis: str) -> Solution:
+    if settings.record_history:
+        raise ValueError(
+            "record_history is not supported in block-split mode (the "
+            "shard_map loop carries no trace buffers); use the single-device "
+            "solver for residual traces")
     n_shards = mesh.shape[block_axis]
     m_orig = qp.m
     qp = pad_rows_for_mesh(qp, n_shards)

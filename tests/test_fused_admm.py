@@ -74,6 +74,21 @@ def test_fused_chunk_matches_xla_chunk():
     assert np.array_equal(np.asarray(fz[2]), np.asarray(z[2]))
 
 
+def test_factor_precision_plumbing():
+    # factor_precision only changes matmul pass counts on TPU; on CPU it
+    # must be a pure no-op on results (plumbing/regression guard).
+    qp = _fleet()
+    base = qps.Settings(max_iterations=2000, eps_abs=1e-5, eps_rel=1e-5,
+                        rho=0.1, kkt_refinement_steps=1)
+    lowp = qps.Settings(max_iterations=2000, eps_abs=1e-5, eps_rel=1e-5,
+                        rho=0.1, kkt_refinement_steps=1,
+                        factor_precision="default")
+    s0 = qps.solve_jit(qp, base)
+    s1 = qps.solve_jit(qp, lowp)
+    assert (np.asarray(s1.info.status) >= 2).all()
+    assert np.abs(np.asarray(s0.x) - np.asarray(s1.x)).max() <= 1e-5
+
+
 def test_full_solve_with_fused_chunk():
     qp = _fleet()
     base = qps.Settings(max_iterations=2000, eps_abs=1e-5, eps_rel=1e-5,
