@@ -12,6 +12,11 @@ Emits one line per (backend, size): best solve time, solves/s, iterations,
 plus a per-backend KKT-solve correctness check against jnp.linalg.solve.
 Runs on whatever device JAX selects (TPU under the driver, CPU with
 JAX_PLATFORMS=cpu).
+
+Runtime note (remote-TPU relay): every (backend, size) and (family,
+backend) cell is a fresh compile costing minutes; the full sweep incl. the
+crossover section can exceed an hour cold. The compilation cache makes
+re-runs fast.
 """
 
 from __future__ import annotations

@@ -27,6 +27,8 @@ def main(argv=None):
     p.add_argument("--iters", type=int, default=500)
     p.add_argument("--no-scaling", action="store_true",
                    help="skip the host-side Ruiz pre-scaling")
+    p.add_argument("--cg-rel", type=float, default=1e-4,
+                   help="relative inner CG tolerance (0 = fixed abstol)")
     args = p.parse_args(argv)
 
     import jax
@@ -63,7 +65,8 @@ def main(argv=None):
                                  dtype=np.float32)
     st = qps.Settings(max_iterations=args.iters, eps_abs=args.eps,
                       eps_rel=args.eps, rho=0.1, adaptive_rho=True,
-                      cg_eps=1e-6, cg_max_iterations=200)
+                      cg_eps=1e-6, cg_max_iterations=200,
+                      cg_rel_eps=args.cg_rel)
 
     from quadraticprogramsolver_tpu.models.admm import solve_segmented
 

@@ -97,6 +97,12 @@ class Settings:
     polish_max_krylov: int = 500        # m:105 minresItr
     cg_eps: float = 1e-9                # m:102 pcgEps
     cg_max_iterations: int = 200        # m:103 pcgItr (TPU: static bound, see kkt.py)
+    #: Relative inner tolerance for the CG KKT backend: stop at
+    #: cg_rel_eps * ||r0|| as well as cg_eps (inexact-ADMM forcing term;
+    #: with the warm-started solution carry the inner accuracy tightens
+    #: automatically as the outer iteration converges). 0 disables — the
+    #: reference's fixed-abstol behavior (m:102).
+    cg_rel_eps: float = 0.0
     kkt_backend: KKTBackendKind = KKTBackendKind.AUTO
     #: Extra iterative-refinement passes on each KKT solve. On TPU the factor
     #: lives in f32; one refinement step restores most of the accuracy the

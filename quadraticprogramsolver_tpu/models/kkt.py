@@ -427,16 +427,24 @@ def cg_solve(cache, qp, x, z, y, rho, settings: Settings):
         cache["diag_inv"],
         abs_tol=settings.cg_eps,
         max_iterations=settings.cg_max_iterations,
+        rel_tol=settings.cg_rel_eps,
     )
     zz = qp.matvec_A(xx)
     return xx, zz, {**cache, "xx": xx}
 
 
-def _pcg(apply_M, b, x0, diag_inv, abs_tol: float, max_iterations: int):
+def _pcg(apply_M, b, x0, diag_inv, abs_tol: float, max_iterations: int,
+         rel_tol: float = 0.0):
     """Batched Jacobi-preconditioned CG with per-lane convergence masking.
 
     The tolerance floors at ~10 ulps of ||b|| so float32 lanes terminate
     instead of stalling at the reference's f64-era abstol (m:102, 1e-9).
+
+    ``rel_tol`` > 0 additionally stops at rel_tol * ||r0|| (inexact-ADMM
+    forcing term): with the warm-started xx carry, ||r0|| contracts as the
+    outer iteration converges, so the inner accuracy tightens automatically
+    — early outer iterations stop wasting Krylov steps polishing a KKT
+    solve whose rhs is still far from the fixed point.
     """
     dtype = b.dtype
     eps = jnp.finfo(dtype).eps
@@ -444,6 +452,9 @@ def _pcg(apply_M, b, x0, diag_inv, abs_tol: float, max_iterations: int):
     tol2 = jnp.maximum(jnp.asarray(abs_tol, dtype), 10 * eps * b_norm) ** 2
 
     r0 = b - apply_M(x0)
+    if rel_tol > 0.0:
+        r0n2 = jnp.sum(r0 * r0, axis=-1)
+        tol2 = jnp.maximum(tol2, jnp.asarray(rel_tol, dtype) ** 2 * r0n2)
     z0 = diag_inv * r0
     p0 = z0
     rz0 = jnp.sum(r0 * z0, axis=-1)
