@@ -147,6 +147,17 @@ class Settings:
     #: rho * rho_eq_scale (OSQP's vector-rho scheme — the reference's To-Do
     #: #1 "paramRho as a matrix"). 1.0 reproduces the reference's scalar rho.
     rho_eq_scale: float = 1.0
+    #: Safeguarded Anderson acceleration of the ADMM fixed point (history
+    #: depth M; 0 disables). Applied at check boundaries to the chunk map,
+    #: guarded by a per-lane residual-decrease test, so it composes with
+    #: every backend (incl. the fused Pallas chunk and the matrix-free
+    #: sparse path) and never degrades a check. Costs ~3 matvecs + an MxM
+    #: solve per check, plus 2*M*(n+m) floats of per-lane history. See
+    #: models/anderson.py. Not in the reference (single-problem plain
+    #: iteration); biggest wins on slow-converging / tight-tolerance solves.
+    anderson_memory: int = 0
+    #: Relative Tikhonov damping of the AA least-squares.
+    anderson_reg: float = 1e-8
 
     def __post_init__(self):
         if self.max_iterations < 1:

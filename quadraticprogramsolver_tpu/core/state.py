@@ -75,6 +75,10 @@ class SolverState:
     #: (P dx = Px - Px_prev) instead of re-running three matvecs per check.
     #: None unless Settings.check_infeasibility.
     products: object = None
+    #: Optional Anderson-acceleration carry (ring buffers of iterate /
+    #: residual differences, see models/anderson.py). None unless
+    #: Settings.anderson_memory > 0.
+    aa: object = None
 
 
 @_pytree_dataclass

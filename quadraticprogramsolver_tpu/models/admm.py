@@ -44,6 +44,7 @@ from ..core.problem import QP
 from ..core.settings import RHO_MAX, RHO_MIN, Settings
 from ..core.state import SolveInfo, Solution, SolverState, Status
 from ..ops.linalg import inf_norm
+from . import anderson as anderson_mod
 from . import kkt as kkt_mod
 from .polish import polish as polish_fn
 
@@ -69,6 +70,7 @@ def _init_state(qp: QP, settings: Settings, x0, backend, z0=None, y0=None,
         # deltas (P dx = Px - Px_prev etc.) have a correct base point.
         products = {"Px": qp.matvec_P(x), "Ax": qp.matvec_A(x),
                     "ATy": qp.matvec_At(y)}
+    aa = anderson_mod.init_aa(qp, settings) if settings.anderson_memory > 0 else None
     return SolverState(
         x=x,
         z=z,
@@ -83,6 +85,7 @@ def _init_state(qp: QP, settings: Settings, x0, backend, z0=None, y0=None,
         kkt_cache=cache,
         history=history,
         products=products,
+        aa=aa,
     )
 
 
@@ -213,7 +216,7 @@ def _infeasibility_certificates(qp: QP, settings: Settings, dx, dy,
 
 
 def _check_convergence(qp: QP, settings: Settings, state: SolverState, x, z, y, xp, zp,
-                       term_scale=None, chunk_prods=None):
+                       term_scale=None, chunk_prods=None, aa_accept=None):
     """Residuals, adaptive-rho candidate, and termination flags.
 
     Math follows `CheckConvergence` (SolveQuadraticProgram.jl:79-112),
@@ -231,9 +234,12 @@ def _check_convergence(qp: QP, settings: Settings, state: SolverState, x, z, y, 
     if chunk_prods is None:
         Ax = qp.matvec_A(x)
         ATy = qp.matvec_At(y)
-    else:                       # computed inside the fused chunk kernel
+        Px = qp.matvec_P(x)
+    elif len(chunk_prods) == 3:  # selected by the Anderson step
+        Ax, ATy, Px = chunk_prods
+    else:                        # computed inside the fused chunk kernel
         Ax, ATy = chunk_prods
-    Px = qp.matvec_P(x)
+        Px = qp.matvec_P(x)
 
     if term_scale is None:
         unsc_p = unsc_d = lambda v: v          # already unscaled
@@ -290,6 +296,11 @@ def _check_convergence(qp: QP, settings: Settings, state: SolverState, x, z, y, 
     eps_x = eps_admm + ulp * jnp.maximum(inf_norm(unsc_x(x)), 1.0)
     eps_z = eps_admm + ulp * jnp.maximum(inf_norm(unsc_p(z)), 1.0)
     admm_fp = (inf_norm(unsc_x(x - xp)) <= eps_x) & (inf_norm(unsc_p(z - zp)) <= eps_z)
+    if aa_accept is not None:
+        # Lanes that took an Anderson step this check compare x against the
+        # plain chunk's penultimate iterate — a different map's point — so
+        # the fixed-point test is meaningless (and could fire spuriously).
+        admm_fp &= ~aa_accept
 
     status = state.status
     status = jnp.where(active & solved, Status.SOLVED, status)
@@ -356,6 +367,7 @@ def _check_convergence(qp: QP, settings: Settings, state: SolverState, x, z, y, 
         kkt_cache=state.kkt_cache,
         history=history,
         products=products,
+        aa=state.aa,
     )
 
 
@@ -389,12 +401,15 @@ def _maybe_refactor(qp: QP, settings: Settings, backend, state: SolverState) -> 
     else:
         cache = jax.lax.cond(
             jnp.any(tripped), do_refactor, lambda c: c, state.kkt_cache)
+    # A re-adopted rho changes the fixed-point encoding w = z + y/rho (and
+    # the map itself) — the lane's Anderson history is stale; restart it.
+    aa = anderson_mod.reset_aa(state.aa, tripped)
     return SolverState(
         x=state.x, z=state.z, y=state.y, rho=rho, rho_cand=state.rho_cand,
         status=state.status, iterations=state.iterations,
         res_prim=state.res_prim, res_dual=state.res_dual,
         iteration=state.iteration, kkt_cache=cache, history=state.history,
-        products=state.products,
+        products=state.products, aa=aa,
     )
 
 
@@ -488,13 +503,18 @@ def _solve_core(qp: QP, settings: Settings, x0, z0=None, y0=None, rho0=None,
     def body(st: SolverState):
         st = _maybe_refactor(qp, settings, backend, st)
         x, z, y, xp, zp, cache, prods = _run_chunk(qp, settings, backend, st)
+        aa_accept = None
+        aa = st.aa
+        if settings.anderson_memory > 0:
+            x, z, y, prods, aa, aa_accept = anderson_mod.aa_step(
+                qp, settings, st, x, z, y, prods)
         st = SolverState(
             x=st.x, z=st.z, y=st.y, rho=st.rho, rho_cand=st.rho_cand,
             status=st.status, iterations=st.iterations, res_prim=st.res_prim,
             res_dual=st.res_dual, iteration=st.iteration, kkt_cache=cache,
-            history=st.history, products=st.products)
+            history=st.history, products=st.products, aa=aa)
         return _check_convergence(qp, settings, st, x, z, y, xp, zp, term_scale,
-                                  chunk_prods=prods)
+                                  chunk_prods=prods, aa_accept=aa_accept)
 
     state = jax.lax.while_loop(cond, body, state)
 

@@ -1,0 +1,191 @@
+"""Safeguarded Anderson acceleration of the ADMM fixed point.
+
+The OSQP iteration is Douglas-Rachford splitting in the variables
+``s = (x, w)`` with ``w = z + y/rho``: given ``s``, the constrained iterates
+are recovered as ``z = clip(w, l, u)`` and ``y = rho*(w - z)`` — every chunk
+output satisfies this by construction (``z <- clip(alpha*zz + (1-alpha)*z +
+y/rho, l, u)``, ``y <- y + rho*(...) ``, so ``z + y/rho`` is exactly the
+pre-projection point). Anderson acceleration (AA) extrapolates this
+fixed-point sequence from a short history of iterate/residual differences
+(type-II AA, per the A2DR line of work — arXiv:1908.11482 / PAPERS.md — and
+SCS 3.0's accelerated DR). The reference has no analogue (single problem,
+plain iteration); on TPU fleets the win is iteration count: the per-check
+cost of AA is a handful of matvecs + an M x M solve, amortized over
+``check_interval`` iterations.
+
+TPU-first shape discipline (everything static, fully batched):
+
+* AA operates at **check boundaries** on the chunk map ``g = T^K`` (K =
+  check_interval): the residual ``f_j = g(s_j) - s_j`` is free — ``s_j`` is
+  the state entering the chunk and ``g(s_j)`` its output — so the hot chunk
+  (including the fused Pallas kernel) is untouched.
+* History is a per-lane ring buffer of the last M difference pairs
+  (``anderson_memory``); the mixing weights solve a batched M x M
+  Tikhonov-regularized least-squares (``anderson_reg``) — one tiny batched
+  ``linalg.solve`` per check.
+* **Safeguard**: the candidate is accepted per lane only when its combined
+  (primal, dual) residual margin improves on the plain chunk output; on
+  rejection the lane's history restarts (the standard guarded-AA discipline,
+  e.g. SCS 3.0) and the plain iterate proceeds — AA can therefore never
+  make a check worse than the unaccelerated solver.
+* A lane's history resets when its rho is re-adopted (the encoding
+  ``w = z + y/rho`` and the map itself change), and accepted AA steps mask
+  the ADMM fixed-point test for that check (``x - xp`` would compare points
+  of different maps).
+
+Works with every KKT backend (the map is a black box), dense or matrix-free
+sparse problems, Ruiz-scaled solves (selection runs in the solve space;
+termination stays unscaled in admm._check_convergence), and the fused
+Pallas chunk. Not carried across solve_segmented boundaries (each segment
+restarts its history) or into the consensus block-split solver.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..core.state import SolverState, Status
+from . import kkt as kkt_mod
+
+
+def init_aa(qp, settings):
+    """Zeroed AA carry: ring buffers of iterate/residual differences."""
+    mem = settings.anderson_memory
+    batch = qp.batch_shape
+    d = qp.n + qp.m
+    dt = qp.dtype
+    return {
+        "S": jnp.zeros(batch + (mem, d), dt),       # s_k - s_{k-1}
+        "F": jnp.zeros(batch + (mem, d), dt),       # f_k - f_{k-1}
+        "prev_s": jnp.zeros(batch + (d,), dt),
+        "prev_f": jnp.zeros(batch + (d,), dt),
+        "count": jnp.zeros(batch, jnp.int32),       # checks since last reset
+    }
+
+
+def reset_aa(aa, mask):
+    """Clear history (and the stored previous point) for masked lanes."""
+    if aa is None:
+        return None
+    m3 = mask[..., None, None]
+    return {
+        "S": jnp.where(m3, 0.0, aa["S"]),
+        "F": jnp.where(m3, 0.0, aa["F"]),
+        "prev_s": aa["prev_s"],
+        "prev_f": aa["prev_f"],
+        "count": jnp.where(mask, 0, aa["count"]),
+    }
+
+
+def _encode(qp, settings, x, z, y, rho):
+    rho_row = jnp.broadcast_to(
+        kkt_mod.rho_rows(qp, rho, settings), qp.batch_shape + (qp.m,))
+    return jnp.concatenate([x, z + y / rho_row], axis=-1)
+
+
+def _decode(qp, settings, s, rho):
+    rho_row = jnp.broadcast_to(
+        kkt_mod.rho_rows(qp, rho, settings), qp.batch_shape + (qp.m,))
+    x = s[..., : qp.n]
+    w = s[..., qp.n:]
+    z = jnp.clip(w, qp.l, qp.u)
+    y = rho_row * (w - z)
+    return x, z, y
+
+
+def _residual_margin(qp, settings, Ax, z, Px, ATy):
+    """max(res_prim/eps_prim, res_dual/eps_dual) in the solve space.
+
+    The same relative-termination scaling as the convergence test
+    (SolveQuadraticProgram.jl:84-96), collapsed to one comparable scalar
+    per lane.
+    """
+    from ..ops.linalg import inf_norm
+
+    res_prim = inf_norm(Ax - z)
+    res_dual = inf_norm(Px + qp.q + ATy)
+    max_prim = jnp.maximum(inf_norm(Ax), inf_norm(z))
+    max_dual = jnp.maximum(
+        jnp.maximum(inf_norm(Px), inf_norm(ATy)), inf_norm(qp.q))
+    eps_p = settings.eps_abs + settings.eps_rel * max_prim
+    eps_d = settings.eps_abs + settings.eps_rel * max_dual
+    return jnp.maximum(res_prim / eps_p, res_dual / eps_d)
+
+
+def aa_step(qp, settings, state: SolverState, x, z, y, chunk_prods):
+    """One guarded AA update at a check boundary.
+
+    Inputs: the pre-chunk ``state`` (whose x/z/y are the chunk's input
+    point ``s_j``) and the chunk output ``(x, z, y)`` (= ``g(s_j)``).
+    Returns ``(x, z, y, (Ax, ATy, Px), aa_new, accepted)`` with the
+    per-lane-selected iterates and their convergence-check products.
+    """
+    mem = settings.anderson_memory
+    dt = qp.dtype
+    aa = state.aa
+    active = state.status == Status.RUNNING
+
+    s_in = _encode(qp, settings, state.x, state.z, state.y, state.rho)
+    s_plain = _encode(qp, settings, x, z, y, state.rho)
+    f = s_plain - s_in
+
+    have_prev = aa["count"] >= 1
+    ds = s_in - aa["prev_s"]
+    df = f - aa["prev_f"]
+    # Ring-buffer push (per-lane slot -> one-hot write; slots hold either
+    # valid differences or the zeros they were reset to, so no separate
+    # validity mask is needed in the least-squares below).
+    slot = jnp.where(have_prev, (aa["count"] - 1) % mem, 0)
+    onehot = jnp.arange(mem) == slot[..., None]                  # (*B, mem)
+    push = (onehot & have_prev[..., None])[..., None]            # (*B, mem, 1)
+    S = jnp.where(push, ds[..., None, :], aa["S"])
+    F = jnp.where(push, df[..., None, :], aa["F"])
+
+    # Type-II AA mixing: gamma = argmin ||f - F' gamma||, Tikhonov-damped;
+    # zero history rows contribute nothing, and an all-zero history yields
+    # gamma = 0, i.e. the plain iterate.
+    G = jnp.einsum("...id,...jd->...ij", F, F)
+    rhs = jnp.einsum("...id,...d->...i", F, f)
+    tr = jnp.trace(G, axis1=-2, axis2=-1) / mem
+    lam = settings.anderson_reg * tr + jnp.asarray(1e-30, dt)
+    Greg = G + lam[..., None, None] * jnp.eye(mem, dtype=dt)
+    gamma = jnp.linalg.solve(Greg, rhs[..., None])[..., 0]
+    s_aa = s_plain - jnp.einsum("...i,...id->...d", gamma, S + F)
+
+    x_a, z_a, y_a = _decode(qp, settings, s_aa, state.rho)
+
+    # Safeguard: residual margins of both candidates.
+    if chunk_prods is None:
+        Ax_p, ATy_p = qp.matvec_A(x), qp.matvec_At(y)
+    else:
+        Ax_p, ATy_p = chunk_prods
+    Px_p = qp.matvec_P(x)
+    Ax_a, ATy_a, Px_a = qp.matvec_A(x_a), qp.matvec_At(y_a), qp.matvec_P(x_a)
+    m_plain = _residual_margin(qp, settings, Ax_p, z, Px_p, ATy_p)
+    m_aa = _residual_margin(qp, settings, Ax_a, z_a, Px_a, ATy_a)
+    accepted = active & have_prev & jnp.isfinite(m_aa) & (m_aa < m_plain)
+    rejected = active & have_prev & ~accepted
+
+    sel = accepted[..., None]
+    x = jnp.where(sel, x_a, x)
+    z = jnp.where(sel, z_a, z)
+    y = jnp.where(sel, y_a, y)
+    Ax = jnp.where(sel, Ax_a, Ax_p)
+    ATy = jnp.where(sel, ATy_a, ATy_p)
+    Px = jnp.where(sel, Px_a, Px_p)
+
+    # Bookkeeping: rejected lanes restart (clear differences, keep this
+    # check's point as the fresh base); everyone active records
+    # (s_j, f_j) and advances.
+    r3 = rejected[..., None, None]
+    a2 = active[..., None]
+    aa_new = {
+        "S": jnp.where(r3, 0.0, S),
+        "F": jnp.where(r3, 0.0, F),
+        "prev_s": jnp.where(a2, s_in, aa["prev_s"]),
+        "prev_f": jnp.where(a2, f, aa["prev_f"]),
+        "count": jnp.where(rejected, 1,
+                           jnp.where(active, aa["count"] + 1, aa["count"])),
+    }
+    return x, z, y, (Ax, ATy, Px), aa_new, accepted
