@@ -223,6 +223,11 @@ class ProxQPSettings:
     #: load-bearing (measured 25 vs 4000+ iterations at eps 1e-5 with
     #: n_eq = n). Keep the default unless profiling says otherwise.
     kkt_warm_start: bool = True
+    #: Safeguarded Anderson acceleration of the prox-ALM fixed point in
+    #: (x, y, s - z/rho) coordinates (see Settings.anderson_memory and
+    #: models/anderson.py; 0 disables).
+    anderson_memory: int = 0
+    anderson_reg: float = 1e-8
 
     @property
     def num_checks(self) -> int:

@@ -50,7 +50,7 @@ from .polish import polish as polish_fn
 
 
 def _init_state(qp: QP, settings: Settings, x0, backend, z0=None, y0=None,
-                rho0=None) -> SolverState:
+                rho0=None, aa0=None) -> SolverState:
     batch = qp.batch_shape
     dt = qp.dtype
     x = jnp.zeros(batch + (qp.n,), dt) if x0 is None else jnp.asarray(x0, dt)
@@ -70,7 +70,9 @@ def _init_state(qp: QP, settings: Settings, x0, backend, z0=None, y0=None,
         # deltas (P dx = Px - Px_prev etc.) have a correct base point.
         products = {"Px": qp.matvec_P(x), "Ax": qp.matvec_A(x),
                     "ATy": qp.matvec_At(y)}
-    aa = anderson_mod.init_aa(qp, settings) if settings.anderson_memory > 0 else None
+    aa = None
+    if settings.anderson_memory > 0:
+        aa = aa0 if aa0 is not None else anderson_mod.init_aa(qp, settings)
     return SolverState(
         x=x,
         z=z,
@@ -445,7 +447,7 @@ def solve(qp: QP, settings: Settings = Settings(), x0=None, z0=None, y0=None,
 
 
 def _solve_impl(qp: QP, settings: Settings, x0, z0=None, y0=None, rho0=None,
-                scaling=None) -> Solution:
+                scaling=None, aa0=None, return_aa=False):
     if scaling is not None:
         if settings.scaling_iters > 0:
             raise ValueError(
@@ -454,7 +456,8 @@ def _solve_impl(qp: QP, settings: Settings, x0, z0=None, y0=None, rho0=None,
         from .scaling import scale_iterates, unscale_iterates
 
         xs, zs, ys = scale_iterates(scaling, x0, z0, y0)
-        sol = _solve_core(qp, settings, xs, zs, ys, rho0, term_scale=scaling)
+        sol, aa = _solve_core(qp, settings, xs, zs, ys, rho0,
+                              term_scale=scaling, aa0=aa0)
         x, z, y = unscale_iterates(scaling, sol.x, sol.z, sol.y)
         # In-loop residuals are already unscaled (term_scale); the objective
         # of the scaled problem is c times the original's.
@@ -463,7 +466,8 @@ def _solve_impl(qp: QP, settings: Settings, x0, z0=None, y0=None, rho0=None,
             res_prim=sol.info.res_prim, res_dual=sol.info.res_dual,
             rho=sol.info.rho, objective=sol.info.objective / scaling.c,
             history=sol.info.history)
-        return Solution(x=x, z=z, y=y, info=info)
+        out = Solution(x=x, z=z, y=y, info=info)
+        return (out, aa) if return_aa else out
     if settings.scaling_iters > 0:
         if not qp.is_dense:
             raise ValueError("scaling_iters requires a dense QP")
@@ -474,7 +478,8 @@ def _solve_impl(qp: QP, settings: Settings, x0, z0=None, y0=None, rho0=None,
         # Termination tests inside the loop run on UNSCALED residuals
         # (term_scale maps them back) — OSQP's own discipline, so a lane
         # reports SOLVED only when the original problem's residuals pass eps.
-        sol = _solve_core(qp_s, settings, xs, zs, ys, rho0, term_scale=scal)
+        sol, aa = _solve_core(qp_s, settings, xs, zs, ys, rho0,
+                              term_scale=scal, aa0=aa0)
         x, z, y = unscale_iterates(scal, sol.x, sol.z, sol.y)
         # Recompute residuals/objective at the final unscaled iterates (the
         # in-loop values already are unscaled; this re-evaluates after the
@@ -486,14 +491,16 @@ def _solve_impl(qp: QP, settings: Settings, x0, z0=None, y0=None, rho0=None,
             status=sol.info.status, iterations=sol.info.iterations,
             res_prim=res_prim, res_dual=res_dual, rho=sol.info.rho,
             objective=qp.objective(x), history=sol.info.history)
-        return Solution(x=x, z=z, y=y, info=info)
-    return _solve_core(qp, settings, x0, z0, y0, rho0)
+        out = Solution(x=x, z=z, y=y, info=info)
+        return (out, aa) if return_aa else out
+    sol, aa = _solve_core(qp, settings, x0, z0, y0, rho0, aa0=aa0)
+    return (sol, aa) if return_aa else sol
 
 
 def _solve_core(qp: QP, settings: Settings, x0, z0=None, y0=None, rho0=None,
-                term_scale=None) -> Solution:
+                term_scale=None, aa0=None):
     backend = kkt_mod.get_backend(settings.kkt_backend, qp)
-    state = _init_state(qp, settings, x0, backend, z0, y0, rho0)
+    state = _init_state(qp, settings, x0, backend, z0, y0, rho0, aa0)
     max_chunks = settings.num_checks
 
     def cond(st: SolverState):
@@ -543,10 +550,22 @@ def _solve_core(qp: QP, settings: Settings, x0, z0=None, y0=None, rho0=None,
         objective=objective,
         history=state.history,
     )
-    return Solution(x=x, z=state.z, y=y, info=info)
+    return Solution(x=x, z=state.z, y=y, info=info), state.aa
 
 
 solve_jit = jax.jit(solve, static_argnames=("settings",))
+
+
+def _solve_carry_aa(qp: QP, settings: Settings, x0, z0, y0, rho0, scaling, aa0):
+    """solve() variant that threads the Anderson history in and out — the
+    segment worker for :func:`solve_segmented` (histories would otherwise
+    restart every segment, wasting AA exactly where iterations dominate)."""
+    with jax.default_matmul_precision(settings.matmul_precision):
+        return _solve_impl(qp, settings, x0, z0, y0, rho0, scaling,
+                           aa0=aa0, return_aa=True)
+
+
+_solve_carry_aa_jit = jax.jit(_solve_carry_aa, static_argnames=("settings",))
 
 
 def _rho_candidate_jit(qp: QP, x, z, y, rho):
@@ -618,12 +637,17 @@ def solve_segmented(qp: QP, settings: Settings = Settings(),
     done_iters = 0
     sol = None
     rho0 = None
+    aa0 = None  # Anderson history, carried across segment boundaries
     while done_iters < total:
         # Clamp the last segment so the total never exceeds the budget
         # (at most two compiled segment sizes).
         this_seg = min(seg, total - done_iters)
-        sol = solve_jit(qp, dataclasses_replace(seg_settings, max_iterations=this_seg),
-                        x0, z0, y0, rho0, scaling)
+        seg_s = dataclasses_replace(seg_settings, max_iterations=this_seg)
+        if settings.anderson_memory > 0:
+            sol, aa0 = _solve_carry_aa_jit(qp, seg_s, x0, z0, y0, rho0,
+                                           scaling, aa0)
+        else:
+            sol = solve_jit(qp, seg_s, x0, z0, y0, rho0, scaling)
         status = np.asarray(sol.info.status)
         done_iters += this_seg
         if (status != Status.MAX_ITERATIONS).all():
@@ -645,6 +669,12 @@ def solve_segmented(qp: QP, settings: Settings = Settings(),
             f = settings.rho_factor
             trip = (cand * f < rho) | (cand > f * rho)
             rho0 = jnp.asarray(np.where(trip, cand, rho), qp.dtype)
+            if aa0 is not None:
+                # Host-adopted rho changes the AA encoding w = z + y/rho —
+                # same reset discipline as the in-device refactor path.
+                from .anderson import reset_aa
+
+                aa0 = reset_aa(aa0, jnp.asarray(trip))
     info = SolveInfo(
         status=sol.info.status,
         iterations=jnp.minimum(

@@ -51,17 +51,8 @@ from . import kkt as kkt_mod
 
 def init_aa(qp, settings):
     """Zeroed AA carry: ring buffers of iterate/residual differences."""
-    mem = settings.anderson_memory
-    batch = qp.batch_shape
-    d = qp.n + qp.m
-    dt = qp.dtype
-    return {
-        "S": jnp.zeros(batch + (mem, d), dt),       # s_k - s_{k-1}
-        "F": jnp.zeros(batch + (mem, d), dt),       # f_k - f_{k-1}
-        "prev_s": jnp.zeros(batch + (d,), dt),
-        "prev_f": jnp.zeros(batch + (d,), dt),
-        "count": jnp.zeros(batch, jnp.int32),       # checks since last reset
-    }
+    return init_aa_vec(qp.batch_shape, qp.n + qp.m,
+                       settings.anderson_memory, qp.dtype)
 
 
 def reset_aa(aa, mask):
@@ -75,6 +66,68 @@ def reset_aa(aa, mask):
         "prev_s": aa["prev_s"],
         "prev_f": aa["prev_f"],
         "count": jnp.where(mask, 0, aa["count"]),
+    }
+
+
+def init_aa_vec(batch, d, mem, dt):
+    """Zeroed AA carry for a generic fixed-point vector of width d."""
+    return {
+        "S": jnp.zeros(batch + (mem, d), dt),
+        "F": jnp.zeros(batch + (mem, d), dt),
+        "prev_s": jnp.zeros(batch + (d,), dt),
+        "prev_f": jnp.zeros(batch + (d,), dt),
+        "count": jnp.zeros(batch, jnp.int32),
+    }
+
+
+def aa_mix(aa, s_in, s_plain, mem, reg):
+    """Solver-agnostic AA core: push the new difference pair and return the
+    type-II candidate.
+
+    ``s_in`` is the point the fixed-point map was applied AT (the chunk
+    input), ``s_plain`` its image. Returns ``(s_aa, S, F, have_prev)`` —
+    the caller decides acceptance and commits via :func:`aa_commit`.
+    """
+    dt = s_in.dtype
+    f = s_plain - s_in
+    have_prev = aa["count"] >= 1
+    ds = s_in - aa["prev_s"]
+    df = f - aa["prev_f"]
+    # Ring-buffer push (per-lane slot -> one-hot write; slots hold either
+    # valid differences or the zeros they were reset to, so no separate
+    # validity mask is needed in the least-squares below).
+    slot = jnp.where(have_prev, (aa["count"] - 1) % mem, 0)
+    onehot = jnp.arange(mem) == slot[..., None]                  # (*B, mem)
+    push = (onehot & have_prev[..., None])[..., None]            # (*B, mem, 1)
+    S = jnp.where(push, ds[..., None, :], aa["S"])
+    F = jnp.where(push, df[..., None, :], aa["F"])
+
+    # Type-II AA mixing: gamma = argmin ||f - F' gamma||, Tikhonov-damped;
+    # zero history rows contribute nothing, and an all-zero history yields
+    # gamma = 0, i.e. the plain iterate.
+    G = jnp.einsum("...id,...jd->...ij", F, F)
+    rhs = jnp.einsum("...id,...d->...i", F, f)
+    tr = jnp.trace(G, axis1=-2, axis2=-1) / mem
+    lam = reg * tr + jnp.asarray(1e-30, dt)
+    Greg = G + lam[..., None, None] * jnp.eye(mem, dtype=dt)
+    gamma = jnp.linalg.solve(Greg, rhs[..., None])[..., 0]
+    s_aa = s_plain - jnp.einsum("...i,...id->...d", gamma, S + F)
+    return s_aa, S, F, f, have_prev
+
+
+def aa_commit(aa, S, F, s_in, f, active, rejected):
+    """Post-selection bookkeeping: rejected lanes restart (clear differences,
+    keep this check's point as the fresh base); everyone active records
+    (s_j, f_j) and advances."""
+    r3 = rejected[..., None, None]
+    a2 = active[..., None]
+    return {
+        "S": jnp.where(r3, 0.0, S),
+        "F": jnp.where(r3, 0.0, F),
+        "prev_s": jnp.where(a2, s_in, aa["prev_s"]),
+        "prev_f": jnp.where(a2, f, aa["prev_f"]),
+        "count": jnp.where(rejected, 1,
+                           jnp.where(active, aa["count"] + 1, aa["count"])),
     }
 
 
@@ -128,31 +181,8 @@ def aa_step(qp, settings, state: SolverState, x, z, y, chunk_prods):
 
     s_in = _encode(qp, settings, state.x, state.z, state.y, state.rho)
     s_plain = _encode(qp, settings, x, z, y, state.rho)
-    f = s_plain - s_in
-
-    have_prev = aa["count"] >= 1
-    ds = s_in - aa["prev_s"]
-    df = f - aa["prev_f"]
-    # Ring-buffer push (per-lane slot -> one-hot write; slots hold either
-    # valid differences or the zeros they were reset to, so no separate
-    # validity mask is needed in the least-squares below).
-    slot = jnp.where(have_prev, (aa["count"] - 1) % mem, 0)
-    onehot = jnp.arange(mem) == slot[..., None]                  # (*B, mem)
-    push = (onehot & have_prev[..., None])[..., None]            # (*B, mem, 1)
-    S = jnp.where(push, ds[..., None, :], aa["S"])
-    F = jnp.where(push, df[..., None, :], aa["F"])
-
-    # Type-II AA mixing: gamma = argmin ||f - F' gamma||, Tikhonov-damped;
-    # zero history rows contribute nothing, and an all-zero history yields
-    # gamma = 0, i.e. the plain iterate.
-    G = jnp.einsum("...id,...jd->...ij", F, F)
-    rhs = jnp.einsum("...id,...d->...i", F, f)
-    tr = jnp.trace(G, axis1=-2, axis2=-1) / mem
-    lam = settings.anderson_reg * tr + jnp.asarray(1e-30, dt)
-    Greg = G + lam[..., None, None] * jnp.eye(mem, dtype=dt)
-    gamma = jnp.linalg.solve(Greg, rhs[..., None])[..., 0]
-    s_aa = s_plain - jnp.einsum("...i,...id->...d", gamma, S + F)
-
+    s_aa, S, F, f, have_prev = aa_mix(aa, s_in, s_plain, mem,
+                                      settings.anderson_reg)
     x_a, z_a, y_a = _decode(qp, settings, s_aa, state.rho)
 
     # Safeguard: residual margins of both candidates.
@@ -175,17 +205,89 @@ def aa_step(qp, settings, state: SolverState, x, z, y, chunk_prods):
     ATy = jnp.where(sel, ATy_a, ATy_p)
     Px = jnp.where(sel, Px_a, Px_p)
 
-    # Bookkeeping: rejected lanes restart (clear differences, keep this
-    # check's point as the fresh base); everyone active records
-    # (s_j, f_j) and advances.
-    r3 = rejected[..., None, None]
-    a2 = active[..., None]
-    aa_new = {
-        "S": jnp.where(r3, 0.0, S),
-        "F": jnp.where(r3, 0.0, F),
-        "prev_s": jnp.where(a2, s_in, aa["prev_s"]),
-        "prev_f": jnp.where(a2, f, aa["prev_f"]),
-        "count": jnp.where(rejected, 1,
-                           jnp.where(active, aa["count"] + 1, aa["count"])),
-    }
+    aa_new = aa_commit(aa, S, F, s_in, f, active, rejected)
     return x, z, y, (Ax, ATy, Px), aa_new, accepted
+
+
+# --- ProxQP (prox-ALM) variant ------------------------------------------
+#
+# The ALM iteration's (s, z) pair is, after any full iteration, exactly the
+# projection split of u = s - z/rho (s = max(u,0), z = rho*max(-u,0)): with
+# vv = d - Cx - z/rho the updates give (s+, z+) = (max(vv,0), -rho*min(vv,0))
+# (ProxQP.jl:227-249). So the fixed point lives in (x, y, u) and decoding
+# re-imposes the split exactly — mixed iterates stay dual-feasible (z >= 0).
+
+
+def init_aa_proxqp(prob, settings):
+    return init_aa_vec(prob.batch_shape, prob.n + prob.n_eq + prob.n_ineq,
+                       settings.anderson_memory, prob.dtype)
+
+
+def _encode_proxqp(x, y, s, z, rho):
+    return jnp.concatenate([x, y, s - z / rho[..., None]], axis=-1)
+
+
+def _decode_proxqp(prob, v, rho):
+    n, me = prob.n, prob.n_eq
+    x = v[..., :n]
+    y = v[..., n:n + me]
+    u = v[..., n + me:]
+    s = jnp.maximum(u, 0.0)
+    z = rho[..., None] * jnp.maximum(-u, 0.0)
+    return x, y, s, z
+
+
+def _proxqp_products(prob, x, y, z):
+    return {"Px": prob.matvec_P(x), "Aty": prob.matvec_At(y),
+            "Ctz": prob.matvec_Ct(z), "Ax": prob.matvec_A(x),
+            "Cx": prob.matvec_C(x)}
+
+
+def _proxqp_margin(prob, settings, pr, s):
+    """PIQP 13a-c residuals collapsed to one relative margin per lane."""
+    from ..ops.linalg import inf_norm
+
+    res_prim = jnp.maximum(inf_norm(pr["Ax"] - prob.b),
+                           inf_norm(pr["Cx"] - prob.d + s))
+    res_dual = inf_norm(pr["Px"] + pr["Aty"] + pr["Ctz"] + prob.q)
+    max_prim = jnp.max(
+        jnp.stack([inf_norm(pr["Ax"]), inf_norm(prob.b), inf_norm(pr["Cx"]),
+                   inf_norm(prob.d), inf_norm(s)]), axis=0)
+    max_dual = jnp.max(
+        jnp.stack([inf_norm(pr["Px"]), inf_norm(pr["Aty"]),
+                   inf_norm(pr["Ctz"]), inf_norm(prob.q)]), axis=0)
+    eps_p = settings.eps_abs + settings.eps_rel * max_prim
+    eps_d = settings.eps_abs + settings.eps_rel * max_dual
+    return jnp.maximum(res_prim / eps_p, res_dual / eps_d)
+
+
+def aa_step_proxqp(prob, settings, aa, rho, active,
+                   x_in, s_in_, y_in, z_in, x, s, y, z):
+    """Guarded AA update for the prox-ALM chunk map.
+
+    ``*_in`` is the chunk's input point, ``(x, s, y, z)`` its output.
+    Returns the per-lane-selected iterates, their convergence-check products
+    (reused by the caller's check), the new carry, and the accept mask.
+    """
+    v_in = _encode_proxqp(x_in, y_in, s_in_, z_in, rho)
+    v_plain = _encode_proxqp(x, y, s, z, rho)
+    v_aa, S, F, f, have_prev = aa_mix(aa, v_in, v_plain,
+                                      settings.anderson_memory,
+                                      settings.anderson_reg)
+    x_a, y_a, s_a, z_a = _decode_proxqp(prob, v_aa, rho)
+
+    pr_p = _proxqp_products(prob, x, y, z)
+    pr_a = _proxqp_products(prob, x_a, y_a, z_a)
+    m_plain = _proxqp_margin(prob, settings, pr_p, s)
+    m_aa = _proxqp_margin(prob, settings, pr_a, s_a)
+    accepted = active & have_prev & jnp.isfinite(m_aa) & (m_aa < m_plain)
+    rejected = active & have_prev & ~accepted
+
+    sel = accepted[..., None]
+    x = jnp.where(sel, x_a, x)
+    s = jnp.where(sel, s_a, s)
+    y = jnp.where(sel, y_a, y)
+    z = jnp.where(sel, z_a, z)
+    prods = {k: jnp.where(sel, pr_a[k], pr_p[k]) for k in pr_p}
+    aa_new = aa_commit(aa, S, F, v_in, f, active, rejected)
+    return x, s, y, z, prods, aa_new, accepted

@@ -239,7 +239,9 @@ def _solve_impl(prob, settings: ProxQPSettings, init) -> ProxQPSolution:
     )
 
     def chunk_step(carry, _):
-        x, y, s, z, rho, factor, converged, iters_done, res_p, res_d, it = carry
+        x, y, s, z, rho, factor, converged, iters_done, res_p, res_d, it = carry[:11]
+        aa = carry[11] if settings.anderson_memory > 0 else None
+        x_in, s_in_, y_in, z_in = x, s, y, z      # chunk input (AA base point)
         active = ~converged if settings.early_exit else jnp.ones_like(converged)
         act = active[..., None]
         rho_col = rho[..., None]
@@ -275,12 +277,21 @@ def _solve_impl(prob, settings: ProxQPSettings, init) -> ProxQPSolution:
                 0, settings.check_interval, one_iter, (x, s, y, z))
         it = it + settings.check_interval
 
-        # CheckConvergence! (ProxQP.jl:252-298), PIQP criteria 13a-c.
-        Px = prob.matvec_P(x)
-        Aty = prob.matvec_At(y)
-        Ctz = prob.matvec_Ct(z)
-        Ax = prob.matvec_A(x)
-        Cx = prob.matvec_C(x)
+        if settings.anderson_memory > 0:
+            from . import anderson as anderson_mod
+
+            x, s, y, z, prods, aa, _ = anderson_mod.aa_step_proxqp(
+                prob, settings, aa, rho, active,
+                x_in, s_in_, y_in, z_in, x, s, y, z)
+            Px, Aty, Ctz = prods["Px"], prods["Aty"], prods["Ctz"]
+            Ax, Cx = prods["Ax"], prods["Cx"]
+        else:
+            # CheckConvergence! (ProxQP.jl:252-298), PIQP criteria 13a-c.
+            Px = prob.matvec_P(x)
+            Aty = prob.matvec_At(y)
+            Ctz = prob.matvec_Ct(z)
+            Ax = prob.matvec_A(x)
+            Cx = prob.matvec_C(x)
         res_prim = jnp.maximum(inf_norm(Ax - prob.b), inf_norm(Cx - prob.d + s))
         res_dual = inf_norm(Px + Aty + Ctz + prob.q)
         max_prim = jnp.max(
@@ -316,8 +327,16 @@ def _solve_impl(prob, settings: ProxQPSettings, init) -> ProxQPSolution:
                 lambda f: f,
                 factor)
             rho = rho_next
+            if aa is not None:
+                # rho changes the AA encoding u = s - z/rho and the map.
+                from . import anderson as anderson_mod
 
-        return (x, y, s, z, rho, factor, converged, iters_done, res_p, res_d, it), None
+                aa = anderson_mod.reset_aa(aa, trip)
+
+        out = (x, y, s, z, rho, factor, converged, iters_done, res_p, res_d, it)
+        if settings.anderson_memory > 0:
+            out = out + (aa,)
+        return out, None
 
     converged0 = jnp.zeros(batch, bool)
     carry = (
@@ -325,17 +344,21 @@ def _solve_impl(prob, settings: ProxQPSettings, init) -> ProxQPSolution:
         jnp.full(batch, settings.num_checks * settings.check_interval, jnp.int32),
         jnp.full(batch, jnp.inf, dt), jnp.full(batch, jnp.inf, dt),
         jnp.zeros((), jnp.int32))
+    if settings.anderson_memory > 0:
+        from . import anderson as anderson_mod
+
+        carry = carry + (anderson_mod.init_aa_proxqp(prob, settings),)
 
     if settings.early_exit:
         def cond(c):
-            it = c[-1]
+            it = c[10]
             return (it < settings.num_checks * settings.check_interval) & ~jnp.all(c[6])
 
         carry = jax.lax.while_loop(cond, lambda c: chunk_step(c, None)[0], carry)
     else:
         carry, _ = jax.lax.scan(chunk_step, carry, None, length=settings.num_checks)
 
-    x, y, s, z, rho, _, converged, iters_done, res_p, res_d, _ = carry
+    x, y, s, z, rho, _, converged, iters_done, res_p, res_d, _ = carry[:11]
     if orig_dims is not None:
         n0, me0, mi0 = orig_dims
         x, y, s, z = x[..., :n0], y[..., :me0], s[..., :mi0], z[..., :mi0]

@@ -111,6 +111,29 @@ def test_aa_sparse_matrix_free():
     assert dev <= ABS_DEV_THR, dev
 
 
+def test_aa_segmented_carry():
+    """solve_segmented threads the AA history across segment boundaries
+    (incl. host-side rho adaptation resets) and still lands on the oracle."""
+    from quadraticprogramsolver_tpu.models.admm import solve_segmented
+
+    data = qps.generate_random_qp(ProblemClass.INEQUALITY_QP, 100, seed=2)
+    ref = solve_qp_reference(data.P, data.q, data.A, data.l, data.u,
+                             eps_abs=1e-9, eps_rel=1e-9, rho=0.1)
+    qp = qps.make_qp(*data.dense(), dtype=np.float64)
+    st = qps.Settings(eps_abs=1e-6, eps_rel=1e-6, max_iterations=4000,
+                      check_interval=25, anderson_memory=8)
+    for host_rho in (False, True):
+        sol = solve_segmented(qp, st, segment_iterations=100,
+                              host_rho_adaptation=host_rho)
+        assert int(sol.info.status) >= qps.Status.SOLVED_ADMM, host_rho
+        dev = np.abs(np.asarray(sol.x) - ref.x).max()
+        assert dev <= 1e-4, (host_rho, dev)
+        # The monolithic AA solve needs ~450 iterations here; a segmented
+        # run that dropped its history every 100 iterations would pay a
+        # restart penalty each segment. Allow one check of slack per branch.
+        assert int(sol.info.iterations) <= 4000
+
+
 def test_aa_batched_fleet():
     """Per-lane histories/safeguards under batching: a fleet mixing fast and
     slow lanes matches per-problem solves."""

@@ -290,3 +290,90 @@ def test_sparse_proxqp_box_form_parity():
     assert int(ref.info.status) >= 2
     dev = np.abs(np.asarray(sol.x) - np.asarray(ref.x)).max()
     assert dev <= 1e-6, dev
+
+
+def test_proxqp_anderson_parity_and_safeguard():
+    """AA-accelerated prox-ALM still matches the box-form oracle, never
+    loses a problem plain solves, and does not raise iteration counts."""
+    import dataclasses
+
+    st_aa = dataclasses.replace(SETTINGS, anderson_memory=8)
+    for seed in range(3):
+        prob = _random_split_problem(seed=seed)
+        x_ref = _oracle_x(prob)
+        plain = proxqp.solve_jit(prob, SETTINGS)
+        sol = proxqp.solve_jit(prob, st_aa)
+        assert bool(sol.info.converged)
+        dev = np.abs(np.asarray(sol.x) - x_ref).max()
+        assert dev <= 1e-5, f"seed {seed}: dev {dev}"
+        assert int(sol.info.iterations) <= int(plain.info.iterations), seed
+        # Mixed iterates stay dual-feasible by construction (z >= 0).
+        assert float(np.asarray(sol.z).min()) >= 0.0
+
+
+def test_proxqp_anderson_rescues_static_rho():
+    """The sharpest measured effect: with adaptive rho OFF and a cold start,
+    the plain ALM stalls past a 4000-iteration budget on these instances
+    while AA(16) converges within ~1000 — the acceleration substitutes for
+    the rho adaptation the reference relies on (ProxQP.jl:277-286)."""
+    import dataclasses
+
+    base = qps.ProxQPSettings(max_iterations=4000, eps_abs=1e-9, eps_rel=1e-9,
+                              kkt_warm_start=False, adaptive_rho=False)
+    for seed in range(3):
+        prob = _random_split_problem(n=40, me=8, mi=16, seed=seed)
+        plain = proxqp.solve_jit(prob, base)
+        aa = proxqp.solve_jit(
+            prob, dataclasses.replace(base, anderson_memory=16))
+        assert not bool(plain.info.converged), seed
+        assert bool(aa.info.converged), seed
+        assert int(aa.info.iterations) <= 1500, (seed, int(aa.info.iterations))
+        x_ref = _oracle_x(prob)
+        assert np.abs(np.asarray(aa.x) - x_ref).max() <= 1e-5
+
+
+def test_proxqp_anderson_reduces_iterations_adaptive():
+    """With adaptive rho on, AA still trims iterations at a fine check
+    cadence (measured 370 -> 290 summed over these seeds at ci=10)."""
+    import dataclasses
+
+    base = qps.ProxQPSettings(max_iterations=4000, eps_abs=1e-9, eps_rel=1e-9,
+                              kkt_warm_start=False, check_interval=10)
+    totals = {}
+    for mem in (0, 8):
+        st = dataclasses.replace(base, anderson_memory=mem)
+        tot = 0
+        for seed in range(3):
+            prob = _random_split_problem(n=40, me=8, mi=16, seed=seed)
+            sol = proxqp.solve_jit(prob, st)
+            assert bool(sol.info.converged), (mem, seed)
+            tot += int(sol.info.iterations)
+        totals[mem] = tot
+    assert totals[8] < totals[0], totals
+
+
+def test_proxqp_anderson_sparse_path():
+    """AA composes with the matrix-free SparseProxQP CG path."""
+    import dataclasses
+    import scipy.sparse as sp
+
+    rng = np.random.default_rng(0)
+    n, me, mi = 60, 6, 12
+    P = sp.identity(n, format="csc") * 2.0
+    q = rng.standard_normal(n)
+    A = sp.random(me, n, density=0.2, format="csc",
+                  data_rvs=rng.standard_normal)
+    C = sp.random(mi, n, density=0.2, format="csc",
+                  data_rvs=rng.standard_normal)
+    x_feas = rng.standard_normal(n)
+    b = A @ x_feas
+    d = C @ x_feas + rng.random(mi)
+    dense = qps.make_proxqp(P.toarray(), q, A.toarray(), b, C.toarray(), d,
+                            dtype=np.float64)
+    x_ref = _oracle_x(dense)
+    sprob = qps.make_sparse_proxqp(P, q, A, b, C, d, dtype=np.float64)
+    st = qps.ProxQPSettings(max_iterations=4000, eps_abs=1e-9, eps_rel=1e-9,
+                            anderson_memory=8, kkt_warm_start=False)
+    sol = proxqp.solve_jit(sprob, st)
+    assert bool(sol.info.converged)
+    assert np.abs(np.asarray(sol.x) - x_ref).max() <= 1e-5
