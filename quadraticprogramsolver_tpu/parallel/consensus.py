@@ -25,7 +25,12 @@ Lanczos scalars. Vector-rho weights equality rows locally (weights derive
 from the row's own l/u — no communication). Infeasibility certificates
 (OSQP §3.4, statuses 4/5) run distributed too: the row-space pieces of the
 Farkas tests (norms, bound-support function, the per-row compatibility
-test) reduce over the block axis.
+test) reduce over the block axis. Anderson acceleration
+(Settings.anderson_memory) runs distributed as well: history buffers are
+stored split (x-part replicated, w-part row-sharded) and the MxM mixing
+system is built from psum'd Gram products, so every shard takes the
+identical accelerated step — tested to match the single-device accelerated
+solver iteration-for-iteration.
 """
 
 from __future__ import annotations
@@ -44,6 +49,17 @@ from ..ops.linalg import add_scaled_identity, inf_norm, matvec, matvec_t, spd_in
 
 BLOCK_AXIS = "blocks"
 FLEET_AXIS = "qp"
+
+
+def _aa_reset(aa, mask):
+    """Restart the Anderson history for masked lanes (split-buffer layout)."""
+    m3 = mask[:, None, None]
+    return {
+        "Sx": jnp.where(m3, 0.0, aa["Sx"]), "Fx": jnp.where(m3, 0.0, aa["Fx"]),
+        "Sw": jnp.where(m3, 0.0, aa["Sw"]), "Fw": jnp.where(m3, 0.0, aa["Fw"]),
+        "px": aa["px"], "fx": aa["fx"], "pw": aa["pw"], "fw": aa["fw"],
+        "count": jnp.where(mask, 0, aa["count"]),
+    }
 
 
 def pad_rows_for_mesh(qp: QP, n_shards: int) -> QP:
@@ -250,8 +266,27 @@ def _solve_impl(qp: QP, settings: Settings, mesh: Mesh,
         rho0 = mark(jnp.full((Bb,), settings.rho, dt), fleet_axes)
         z0 = mark(jnp.zeros((Bb, m_loc), dt), fleet_axes + (block_axis,))
         y0 = mark(jnp.zeros((Bb, m_loc), dt), fleet_axes + (block_axis,))
+        n_dim = Pm.shape[-1]
+        mem = settings.anderson_memory
+        aa0 = None
+        if mem > 0:
+            # Anderson history, stored split to respect the shardings: the
+            # x-part replicated over blocks, the w = z + y/rho part
+            # row-sharded (see models/anderson.py for the math; the Gram
+            # matrix below psums the w contribution so every shard solves
+            # the identical MxM system).
+            rep_leaf = lambda shape: mark(jnp.zeros(shape, dt), fleet_axes)
+            row_leaf = lambda shape: mark(jnp.zeros(shape, dt),
+                                          fleet_axes + (block_axis,))
+            aa0 = {
+                "Sx": rep_leaf((Bb, mem, n_dim)), "Fx": rep_leaf((Bb, mem, n_dim)),
+                "Sw": row_leaf((Bb, mem, m_loc)), "Fw": row_leaf((Bb, mem, m_loc)),
+                "px": rep_leaf((Bb, n_dim)), "fx": rep_leaf((Bb, n_dim)),
+                "pw": row_leaf((Bb, m_loc)), "fw": row_leaf((Bb, m_loc)),
+                "count": mark(jnp.zeros((Bb,), jnp.int32), fleet_axes),
+            }
         state0 = (
-            mark(jnp.zeros((Bb, Pm.shape[-1]), dt), fleet_axes), z0, y0,
+            mark(jnp.zeros((Bb, n_dim), dt), fleet_axes), z0, y0,
             rho0, rho0, factor(rho0),
             mark(jnp.zeros((Bb,), jnp.int32), fleet_axes),   # status
             mark(jnp.zeros((Bb,), jnp.int32), fleet_axes),   # per-lane iters
@@ -259,13 +294,16 @@ def _solve_impl(qp: QP, settings: Settings, mesh: Mesh,
             mark(jnp.full((Bb,), jnp.inf, dt), fleet_axes),
             mark(jnp.full((Bb,), jnp.inf, dt), fleet_axes),
         )
+        if mem > 0:
+            state0 = state0 + (aa0,)
         max_total = settings.num_checks * settings.check_interval
 
         def cond(st):
             return (st[8] < max_total) & jnp.any(st[6] == Status.RUNNING)
 
         def body(st):
-            x, z, y, rho, rho_cand, M_inv, status, iters, it, rp, rd = st
+            x, z, y, rho, rho_cand, M_inv, status, iters, it, rp, rd = st[:11]
+            aa = st[11] if mem > 0 else None
             if settings.adaptive_rho:
                 f = settings.rho_factor
                 trip = ((status == Status.RUNNING)
@@ -273,6 +311,10 @@ def _solve_impl(qp: QP, settings: Settings, mesh: Mesh,
                 rho = jnp.where(trip, rho_cand, rho)
                 M_inv = jax.lax.cond(
                     jnp.any(trip), lambda _: factor(rho), lambda mi: mi, M_inv)
+                if aa is not None:
+                    # Re-adopted rho changes the w = z + y/rho encoding —
+                    # restart the lane's history (models/anderson.py).
+                    aa = _aa_reset(aa, trip)
 
             active = (status == Status.RUNNING)[:, None]
             rho_row = rho_rows(rho)
@@ -289,14 +331,87 @@ def _solve_impl(qp: QP, settings: Settings, mesh: Mesh,
                 y = jnp.where(active, y_new, y)
                 return x, z, y, xp, zp
 
-            x_start, y_start = x, y   # chunk-start iterates for certificates
+            x_start, z_start, y_start = x, z, y  # chunk-start (certificates + AA)
             x, z, y, xp, zp = jax.lax.fori_loop(
                 0, settings.check_interval, step, (x, z, y, x, z))
             it = it + settings.check_interval
 
-            Ax = matvec(A, x)
-            Px = matvec(Pm, x)
-            ATy = psum(matvec_t(A, y))
+            aa_accept = None
+            if aa is not None:
+                # Anderson step in the sharded coordinates: the x-part of
+                # the fixed-point vector is replicated over blocks, the
+                # w = z + y/rho part row-sharded; Gram/inner products psum
+                # the w contribution so every shard solves the identical
+                # MxM mixing system (math: models/anderson.py).
+                act_vec = status == Status.RUNNING
+                w_in = z_start + y_start / rho_row
+                w_pl = z + y / rho_row
+                fx = x - x_start
+                fw = w_pl - w_in
+                have = aa["count"] >= 1
+                slot = jnp.where(have, (aa["count"] - 1) % mem, 0)
+                onehot = jnp.arange(mem)[None, :] == slot[:, None]
+                push = (onehot & have[:, None])[..., None]
+                Sx = jnp.where(push, (x_start - aa["px"])[:, None, :], aa["Sx"])
+                Fx = jnp.where(push, (fx - aa["fx"])[:, None, :], aa["Fx"])
+                Sw = jnp.where(push, (w_in - aa["pw"])[:, None, :], aa["Sw"])
+                Fw = jnp.where(push, (fw - aa["fw"])[:, None, :], aa["Fw"])
+                G = (jnp.einsum("bid,bjd->bij", Fx, Fx)
+                     + psum(jnp.einsum("bid,bjd->bij", Fw, Fw)))
+                rhs_g = (jnp.einsum("bid,bd->bi", Fx, fx)
+                         + psum(jnp.einsum("bid,bd->bi", Fw, fw)))
+                tr = jnp.trace(G, axis1=-2, axis2=-1) / mem
+                lam = settings.anderson_reg * tr + jnp.asarray(1e-30, dt)
+                gamma = jnp.linalg.solve(
+                    G + lam[:, None, None] * jnp.eye(mem, dtype=dt),
+                    rhs_g[..., None])[..., 0]
+                x_a = x - jnp.einsum("bi,bid->bd", gamma, Sx + Fx)
+                w_a = w_pl - jnp.einsum("bi,bid->bd", gamma, Sw + Fw)
+                z_a = jnp.clip(w_a, l, u)
+                y_a = rho_row * (w_a - z_a)
+
+                def _margin(xv, zv, yv):
+                    Axv = matvec(A, xv)
+                    Pxv = matvec(Pm, xv)
+                    ATyv = psum(matvec_t(A, yv))
+                    rpv = pmax(inf_norm(Axv - zv))
+                    rdv = inf_norm(Pxv + q + ATyv)
+                    mpv = jnp.maximum(pmax(inf_norm(Axv)), pmax(inf_norm(zv)))
+                    mdv = jnp.maximum(jnp.maximum(inf_norm(Pxv), inf_norm(ATyv)),
+                                      inf_norm(q))
+                    marg = jnp.maximum(
+                        rpv / (settings.eps_abs + settings.eps_rel * mpv),
+                        rdv / (settings.eps_abs + settings.eps_rel * mdv))
+                    return marg, (Axv, Pxv, ATyv)
+
+                m_p, pr_p = _margin(x, z, y)
+                m_a, pr_a = _margin(x_a, z_a, y_a)
+                aa_accept = act_vec & have & jnp.isfinite(m_a) & (m_a < m_p)
+                rejected = act_vec & have & ~aa_accept
+                sel = aa_accept[:, None]
+                x = jnp.where(sel, x_a, x)
+                z = jnp.where(sel, z_a, z)
+                y = jnp.where(sel, y_a, y)
+                Ax = jnp.where(sel, pr_a[0], pr_p[0])
+                Px = jnp.where(sel, pr_a[1], pr_p[1])
+                ATy = jnp.where(sel, pr_a[2], pr_p[2])
+                r3 = rejected[:, None, None]
+                a2 = act_vec[:, None]
+                aa = {
+                    "Sx": jnp.where(r3, 0.0, Sx), "Fx": jnp.where(r3, 0.0, Fx),
+                    "Sw": jnp.where(r3, 0.0, Sw), "Fw": jnp.where(r3, 0.0, Fw),
+                    "px": jnp.where(a2, x_start, aa["px"]),
+                    "fx": jnp.where(a2, fx, aa["fx"]),
+                    "pw": jnp.where(a2, w_in, aa["pw"]),
+                    "fw": jnp.where(a2, fw, aa["fw"]),
+                    "count": jnp.where(rejected, 1,
+                                       jnp.where(act_vec, aa["count"] + 1,
+                                                 aa["count"])),
+                }
+            else:
+                Ax = matvec(A, x)
+                Px = matvec(Pm, x)
+                ATy = psum(matvec_t(A, y))
             res_prim = pmax(inf_norm(Ax - z))
             res_dual = inf_norm(Px + q + ATy)
             max_prim = jnp.maximum(pmax(inf_norm(Ax)), pmax(inf_norm(z)))
@@ -321,6 +436,11 @@ def _solve_impl(qp: QP, settings: Settings, mesh: Mesh,
                    <= eps_admm + ulp * jnp.maximum(inf_norm(x), 1.0))
                   & (pmax(inf_norm(z - zp))
                      <= eps_admm + ulp * jnp.maximum(pmax(inf_norm(z)), 1.0)))
+            if aa_accept is not None:
+                # Accepted AA lanes compare x against the plain chunk's
+                # penultimate iterate — a different map's point; veto the
+                # fixed-point flag for them (models/admm.py discipline).
+                fp &= ~aa_accept
             status = jnp.where(act & solved, Status.SOLVED, status)
             status = jnp.where(act & fp, Status.SOLVED_ADMM, status)
             if settings.check_infeasibility:
@@ -379,10 +499,13 @@ def _solve_impl(qp: QP, settings: Settings, mesh: Mesh,
             iters = jnp.where(newly, it, iters)
             rp = jnp.where(act, res_prim, rp)
             rd = jnp.where(act, res_dual, rd)
-            return (x, z, y, rho, rho_cand, M_inv, status, iters, it, rp, rd)
+            out = (x, z, y, rho, rho_cand, M_inv, status, iters, it, rp, rd)
+            if mem > 0:
+                out = out + (aa,)
+            return out
 
-        (x, z, y, rho, _, _, status, iters, it, rp, rd) = jax.lax.while_loop(
-            cond, body, state0)
+        final = jax.lax.while_loop(cond, body, state0)
+        (x, z, y, rho, _, _, status, iters, it, rp, rd) = final[:11]
         exhausted = status == Status.RUNNING
         status = jnp.where(exhausted, Status.MAX_ITERATIONS, status).astype(jnp.int32)
         iters = jnp.where(exhausted, it, iters)
