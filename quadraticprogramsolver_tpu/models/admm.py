@@ -514,7 +514,7 @@ def _solve_core(qp: QP, settings: Settings, x0, z0=None, y0=None, rho0=None,
         aa = st.aa
         if settings.anderson_memory > 0:
             x, z, y, prods, aa, aa_accept = anderson_mod.aa_step(
-                qp, settings, st, x, z, y, prods)
+                qp, settings, st, x, z, y, prods, term_scale)
         st = SolverState(
             x=st.x, z=st.z, y=st.y, rho=st.rho, rho_cand=st.rho_cand,
             status=st.status, iterations=st.iterations, res_prim=st.res_prim,

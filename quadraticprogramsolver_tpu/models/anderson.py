@@ -34,10 +34,16 @@ TPU-first shape discipline (everything static, fully batched):
   of different maps).
 
 Works with every KKT backend (the map is a black box), dense or matrix-free
-sparse problems, Ruiz-scaled solves (selection runs in the solve space;
-termination stays unscaled in admm._check_convergence), and the fused
-Pallas chunk. Not carried across solve_segmented boundaries (each segment
-restarts its history) or into the consensus block-split solver.
+sparse problems, Ruiz-scaled solves (the safeguard compares UNSCALED
+residual margins, the same space admm._check_convergence terminates in),
+and the fused Pallas chunk. The history is carried across solve_segmented
+boundaries (admm._solve_carry_aa), and the consensus block-split solver
+runs its own sharded variant of the same math (parallel/consensus.py:
+split history buffers, psum'd Gram) tested to match this one
+iteration-for-iteration. The prox-ALM family's variant lives at the bottom
+of this module. MPC sequences (frontends/sequence.py) intentionally do NOT
+carry history between ticks — the QP (and therefore the map) changes, so
+stale secant pairs would only feed the safeguard rejections.
 """
 
 from __future__ import annotations
@@ -102,17 +108,24 @@ def aa_mix(aa, s_in, s_plain, mem, reg):
     S = jnp.where(push, ds[..., None, :], aa["S"])
     F = jnp.where(push, df[..., None, :], aa["F"])
 
-    # Type-II AA mixing: gamma = argmin ||f - F' gamma||, Tikhonov-damped;
-    # zero history rows contribute nothing, and an all-zero history yields
-    # gamma = 0, i.e. the plain iterate.
     G = jnp.einsum("...id,...jd->...ij", F, F)
     rhs = jnp.einsum("...id,...d->...i", F, f)
+    gamma = aa_gamma(G, rhs, mem, reg, dt)
+    s_aa = s_plain - jnp.einsum("...i,...id->...d", gamma, S + F)
+    return s_aa, S, F, f, have_prev
+
+
+def aa_gamma(G, rhs, mem, reg, dt):
+    """Type-II AA mixing weights: gamma = argmin ||f - F' gamma||,
+    Tikhonov-damped relative to the Gram trace. Zero history rows
+    contribute nothing, and an all-zero history yields gamma = 0, i.e.
+    the plain iterate. Shared by the single-device, prox-ALM, and
+    block-split (psum'd Gram) variants — keep the damping rule here only.
+    """
     tr = jnp.trace(G, axis1=-2, axis2=-1) / mem
     lam = reg * tr + jnp.asarray(1e-30, dt)
     Greg = G + lam[..., None, None] * jnp.eye(mem, dtype=dt)
-    gamma = jnp.linalg.solve(Greg, rhs[..., None])[..., 0]
-    s_aa = s_plain - jnp.einsum("...i,...id->...d", gamma, S + F)
-    return s_aa, S, F, f, have_prev
+    return jnp.linalg.solve(Greg, rhs[..., None])[..., 0]
 
 
 def aa_commit(aa, S, F, s_in, f, active, rejected):
@@ -147,26 +160,38 @@ def _decode(qp, settings, s, rho):
     return x, z, y
 
 
-def _residual_margin(qp, settings, Ax, z, Px, ATy):
-    """max(res_prim/eps_prim, res_dual/eps_dual) in the solve space.
+def _residual_margin(qp, settings, Ax, z, Px, ATy, term_scale=None):
+    """max(res_prim/eps_prim, res_dual/eps_dual), collapsed to one
+    comparable scalar per lane — the same relative-termination scaling as
+    the convergence test (SolveQuadraticProgram.jl:84-96).
 
-    The same relative-termination scaling as the convergence test
-    (SolveQuadraticProgram.jl:84-96), collapsed to one comparable scalar
-    per lane.
+    With ``term_scale`` (Ruiz equilibration) the margins are evaluated on
+    the UNSCALED residuals, exactly like _check_convergence's termination
+    tests — so the safeguard's "never degrades a check" guarantee holds in
+    the space the eps tests actually run in.
     """
     from ..ops.linalg import inf_norm
 
-    res_prim = inf_norm(Ax - z)
-    res_dual = inf_norm(Px + qp.q + ATy)
-    max_prim = jnp.maximum(inf_norm(Ax), inf_norm(z))
+    if term_scale is None:
+        unsc_p = unsc_d = lambda v: v
+    else:
+        e_inv = 1.0 / term_scale.e
+        dc_inv = 1.0 / (term_scale.d * term_scale.c[..., None])
+        unsc_p = lambda v: v * e_inv
+        unsc_d = lambda v: v * dc_inv
+    res_prim = inf_norm(unsc_p(Ax - z))
+    res_dual = inf_norm(unsc_d(Px + qp.q + ATy))
+    max_prim = jnp.maximum(inf_norm(unsc_p(Ax)), inf_norm(unsc_p(z)))
     max_dual = jnp.maximum(
-        jnp.maximum(inf_norm(Px), inf_norm(ATy)), inf_norm(qp.q))
+        jnp.maximum(inf_norm(unsc_d(Px)), inf_norm(unsc_d(ATy))),
+        inf_norm(unsc_d(qp.q)))
     eps_p = settings.eps_abs + settings.eps_rel * max_prim
     eps_d = settings.eps_abs + settings.eps_rel * max_dual
     return jnp.maximum(res_prim / eps_p, res_dual / eps_d)
 
 
-def aa_step(qp, settings, state: SolverState, x, z, y, chunk_prods):
+def aa_step(qp, settings, state: SolverState, x, z, y, chunk_prods,
+            term_scale=None):
     """One guarded AA update at a check boundary.
 
     Inputs: the pre-chunk ``state`` (whose x/z/y are the chunk's input
@@ -185,15 +210,16 @@ def aa_step(qp, settings, state: SolverState, x, z, y, chunk_prods):
                                       settings.anderson_reg)
     x_a, z_a, y_a = _decode(qp, settings, s_aa, state.rho)
 
-    # Safeguard: residual margins of both candidates.
+    # Safeguard: residual margins of both candidates (unscaled when Ruiz
+    # scaling is active — the same space the termination tests run in).
     if chunk_prods is None:
         Ax_p, ATy_p = qp.matvec_A(x), qp.matvec_At(y)
     else:
         Ax_p, ATy_p = chunk_prods
     Px_p = qp.matvec_P(x)
     Ax_a, ATy_a, Px_a = qp.matvec_A(x_a), qp.matvec_At(y_a), qp.matvec_P(x_a)
-    m_plain = _residual_margin(qp, settings, Ax_p, z, Px_p, ATy_p)
-    m_aa = _residual_margin(qp, settings, Ax_a, z_a, Px_a, ATy_a)
+    m_plain = _residual_margin(qp, settings, Ax_p, z, Px_p, ATy_p, term_scale)
+    m_aa = _residual_margin(qp, settings, Ax_a, z_a, Px_a, ATy_a, term_scale)
     accepted = active & have_prev & jnp.isfinite(m_aa) & (m_aa < m_plain)
     rejected = active & have_prev & ~accepted
 

@@ -239,8 +239,9 @@ def _solve_impl(prob, settings: ProxQPSettings, init) -> ProxQPSolution:
     )
 
     def chunk_step(carry, _):
-        x, y, s, z, rho, factor, converged, iters_done, res_p, res_d, it = carry[:11]
-        aa = carry[11] if settings.anderson_memory > 0 else None
+        # aa is None when anderson_memory == 0 (a leafless pytree node, so
+        # the carry structure is stable either way).
+        x, y, s, z, rho, factor, converged, iters_done, res_p, res_d, it, aa = carry
         x_in, s_in_, y_in, z_in = x, s, y, z      # chunk input (AA base point)
         active = ~converged if settings.early_exit else jnp.ones_like(converged)
         act = active[..., None]
@@ -333,21 +334,21 @@ def _solve_impl(prob, settings: ProxQPSettings, init) -> ProxQPSolution:
 
                 aa = anderson_mod.reset_aa(aa, trip)
 
-        out = (x, y, s, z, rho, factor, converged, iters_done, res_p, res_d, it)
-        if settings.anderson_memory > 0:
-            out = out + (aa,)
-        return out, None
+        return (x, y, s, z, rho, factor, converged, iters_done,
+                res_p, res_d, it, aa), None
 
     converged0 = jnp.zeros(batch, bool)
+    if settings.anderson_memory > 0:
+        from . import anderson as anderson_mod
+
+        aa0 = anderson_mod.init_aa_proxqp(prob, settings)
+    else:
+        aa0 = None
     carry = (
         x, y, s, z, rho, factor, converged0,
         jnp.full(batch, settings.num_checks * settings.check_interval, jnp.int32),
         jnp.full(batch, jnp.inf, dt), jnp.full(batch, jnp.inf, dt),
-        jnp.zeros((), jnp.int32))
-    if settings.anderson_memory > 0:
-        from . import anderson as anderson_mod
-
-        carry = carry + (anderson_mod.init_aa_proxqp(prob, settings),)
+        jnp.zeros((), jnp.int32), aa0)
 
     if settings.early_exit:
         def cond(c):
@@ -358,7 +359,7 @@ def _solve_impl(prob, settings: ProxQPSettings, init) -> ProxQPSolution:
     else:
         carry, _ = jax.lax.scan(chunk_step, carry, None, length=settings.num_checks)
 
-    x, y, s, z, rho, _, converged, iters_done, res_p, res_d, _ = carry[:11]
+    x, y, s, z, rho, _, converged, iters_done, res_p, res_d, _, _ = carry
     if orig_dims is not None:
         n0, me0, mi0 = orig_dims
         x, y, s, z = x[..., :n0], y[..., :me0], s[..., :mi0], z[..., :mi0]

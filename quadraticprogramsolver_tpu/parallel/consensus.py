@@ -293,17 +293,15 @@ def _solve_impl(qp: QP, settings: Settings, mesh: Mesh,
             jnp.zeros((), jnp.int32),                        # global iteration
             mark(jnp.full((Bb,), jnp.inf, dt), fleet_axes),
             mark(jnp.full((Bb,), jnp.inf, dt), fleet_axes),
+            aa0,   # None when anderson_memory == 0 (leafless pytree node)
         )
-        if mem > 0:
-            state0 = state0 + (aa0,)
         max_total = settings.num_checks * settings.check_interval
 
         def cond(st):
             return (st[8] < max_total) & jnp.any(st[6] == Status.RUNNING)
 
         def body(st):
-            x, z, y, rho, rho_cand, M_inv, status, iters, it, rp, rd = st[:11]
-            aa = st[11] if mem > 0 else None
+            x, z, y, rho, rho_cand, M_inv, status, iters, it, rp, rd, aa = st
             if settings.adaptive_rho:
                 f = settings.rho_factor
                 trip = ((status == Status.RUNNING)
@@ -356,15 +354,13 @@ def _solve_impl(qp: QP, settings: Settings, mesh: Mesh,
                 Fx = jnp.where(push, (fx - aa["fx"])[:, None, :], aa["Fx"])
                 Sw = jnp.where(push, (w_in - aa["pw"])[:, None, :], aa["Sw"])
                 Fw = jnp.where(push, (fw - aa["fw"])[:, None, :], aa["Fw"])
+                from ..models.anderson import aa_gamma
+
                 G = (jnp.einsum("bid,bjd->bij", Fx, Fx)
                      + psum(jnp.einsum("bid,bjd->bij", Fw, Fw)))
                 rhs_g = (jnp.einsum("bid,bd->bi", Fx, fx)
                          + psum(jnp.einsum("bid,bd->bi", Fw, fw)))
-                tr = jnp.trace(G, axis1=-2, axis2=-1) / mem
-                lam = settings.anderson_reg * tr + jnp.asarray(1e-30, dt)
-                gamma = jnp.linalg.solve(
-                    G + lam[:, None, None] * jnp.eye(mem, dtype=dt),
-                    rhs_g[..., None])[..., 0]
+                gamma = aa_gamma(G, rhs_g, mem, settings.anderson_reg, dt)
                 x_a = x - jnp.einsum("bi,bid->bd", gamma, Sx + Fx)
                 w_a = w_pl - jnp.einsum("bi,bid->bd", gamma, Sw + Fw)
                 z_a = jnp.clip(w_a, l, u)
@@ -499,13 +495,10 @@ def _solve_impl(qp: QP, settings: Settings, mesh: Mesh,
             iters = jnp.where(newly, it, iters)
             rp = jnp.where(act, res_prim, rp)
             rd = jnp.where(act, res_dual, rd)
-            out = (x, z, y, rho, rho_cand, M_inv, status, iters, it, rp, rd)
-            if mem > 0:
-                out = out + (aa,)
-            return out
+            return (x, z, y, rho, rho_cand, M_inv, status, iters, it, rp, rd, aa)
 
         final = jax.lax.while_loop(cond, body, state0)
-        (x, z, y, rho, _, _, status, iters, it, rp, rd) = final[:11]
+        (x, z, y, rho, _, _, status, iters, it, rp, rd, _) = final
         exhausted = status == Status.RUNNING
         status = jnp.where(exhausted, Status.MAX_ITERATIONS, status).astype(jnp.int32)
         iters = jnp.where(exhausted, it, iters)
