@@ -152,3 +152,47 @@ def test_aa_batched_fleet():
         assert int(sol.info.status[i]) >= qps.Status.SOLVED_ADMM
         dev = np.abs(np.asarray(sol.x[i]) - ref.x).max()
         assert dev <= ABS_DEV_THR, (i, dev)
+
+
+def test_aa_safeguard_unscaled_margins():
+    """On a badly row-scaled problem solved with Ruiz scaling, the AA
+    safeguard compares UNSCALED margins (the termination space): the
+    accelerated solve must terminate no later than plain and land on the
+    oracle."""
+    import scipy.sparse as sp
+
+    data = qps.generate_random_qp(ProblemClass.INEQUALITY_QP, 60, seed=1)
+    # Exaggerate row scaling disparity by 1e4. Row-scaling l <= Ax <= u
+    # leaves the primal solution unchanged, so the oracle runs on the
+    # well-scaled original (it has no equilibration of its own).
+    rng = np.random.default_rng(0)
+    scale = 10.0 ** rng.uniform(-2, 2, size=data.m)
+    A = sp.diags(scale) @ data.A
+    l, u = scale * data.l, scale * data.u
+    ref = solve_qp_reference(data.P, data.q, data.A, data.l, data.u,
+                             eps_abs=1e-9, eps_rel=1e-9, rho=0.1)
+    assert ref.status == 3
+    qp = qps.make_qp(data.P.toarray(), data.q, A.toarray(), l, u,
+                     dtype=np.float64)
+    st = dataclasses.replace(TEST_SETTINGS, scaling_iters=10)
+    plain = qps.solve_jit(qp, st)
+    aa = qps.solve_jit(qp, dataclasses.replace(st, anderson_memory=8))
+    assert int(aa.info.status) >= qps.Status.SOLVED_ADMM
+    assert int(aa.info.iterations) <= int(plain.info.iterations)
+    dev = np.abs(np.asarray(aa.x) - ref.x).max()
+    assert dev <= ABS_DEV_THR, dev
+
+
+def test_aa_composes_with_fused_chunk():
+    """AA operates at check boundaries outside the fused Pallas kernel, so
+    the two compose (interpret mode on CPU); parity vs the XLA chunk path."""
+    fleet = qps.generate_batch(ProblemClass.RANDOM_QP, 4, 128, seed=0,
+                               dtype=np.float32)
+    st = qps.Settings(eps_abs=1e-4, eps_rel=1e-4, rho=0.1,
+                      max_iterations=1000, anderson_memory=4,
+                      kkt_refinement_steps=0)
+    plain = qps.solve_jit(fleet, st)
+    fused = qps.solve_jit(fleet, dataclasses.replace(st, fused_chunk=True))
+    assert (np.asarray(fused.info.status) >= 2).all()
+    dev = np.abs(np.asarray(fused.x) - np.asarray(plain.x)).max()
+    assert dev <= 1e-3, dev
