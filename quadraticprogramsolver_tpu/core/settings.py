@@ -228,6 +228,16 @@ class ProxQPSettings:
     #: models/anderson.py; 0 disables).
     anderson_memory: int = 0
     anderson_reg: float = 1e-8
+    #: Detect primal/dual infeasibility from iterate-difference Farkas
+    #: certificates in the split form (Ax=b, Cx<=d): primal-infeasible when
+    #: the diverging dual direction (dy, dz) satisfies A'dy + C'dz ~ 0,
+    #: b'dy + d'dz < 0, dz >= 0; dual-infeasible (unbounded) when dx
+    #: satisfies P dx ~ 0, A dx ~ 0, C dx <~ 0, q'dx < 0. Mirrors the box
+    #: form's OSQP §3.4 certificates (Settings.check_infeasibility); not in
+    #: the reference (ProxQP.jl loops its full budget on infeasible input).
+    check_infeasibility: bool = True
+    eps_prim_inf: float = 1e-4
+    eps_dual_inf: float = 1e-4
 
     @property
     def num_checks(self) -> int:

@@ -43,6 +43,7 @@ import jax.numpy as jnp
 
 from ..core.problem import ProxQPProblem
 from ..core.settings import ProxQPSettings
+from ..core.state import Status
 from ..core.pytree import pytree_dataclass as _pytree_dataclass
 from ..ops.linalg import add_scaled_identity, inf_norm, matvec, matvec_t, spd_inverse
 
@@ -50,13 +51,18 @@ from ..ops.linalg import add_scaled_identity, inf_norm, matvec, matvec_t, spd_in
 @_pytree_dataclass
 @dataclasses.dataclass(frozen=True)
 class ProxQPInfo:
-    """Batched analogue of the reference's report Dict (ProxQP.jl:127)."""
+    """Batched analogue of the reference's report Dict (ProxQP.jl:127),
+    plus a Status code the reference lacks (it has only a converged bool
+    and loops its full budget on infeasible input)."""
 
     converged: jax.Array     # (*B,) bool
     iterations: jax.Array    # (*B,) int32
     res_prim: jax.Array      # (*B,)
     res_dual: jax.Array      # (*B,)
     rho: jax.Array           # (*B,)
+    #: (*B,) int32 — core.state.Status codes: MAX_ITERATIONS(1), SOLVED(3),
+    #: PRIMAL_INFEASIBLE(4), DUAL_INFEASIBLE(5).
+    status: jax.Array = None
 
 
 @_pytree_dataclass
@@ -240,10 +246,19 @@ def _solve_impl(prob, settings: ProxQPSettings, init) -> ProxQPSolution:
 
     def chunk_step(carry, _):
         # aa is None when anderson_memory == 0 (a leafless pytree node, so
-        # the carry structure is stable either way).
-        x, y, s, z, rho, factor, converged, iters_done, res_p, res_d, it, aa = carry
-        x_in, s_in_, y_in, z_in = x, s, y, z      # chunk input (AA base point)
-        active = ~converged if settings.early_exit else jnp.ones_like(converged)
+        # aa/prods are None when their features are off (leafless pytree
+        # nodes, so the carry structure is stable either way).
+        (x, y, s, z, rho, factor, status, iters_done, res_p, res_d, it,
+         aa, prods_prev) = carry
+        x_in, s_in_, y_in, z_in = x, s, y, z      # chunk input point
+        running = status == Status.RUNNING
+        # early_exit freezes every finished lane; reference mode (no early
+        # exit, ProxQP.jl:157) keeps iterating converged lanes but still
+        # freezes infeasible ones — their iterates diverge by design.
+        if settings.early_exit:
+            active = running
+        else:
+            active = status < Status.PRIMAL_INFEASIBLE
         act = active[..., None]
         rho_col = rho[..., None]
 
@@ -302,12 +317,52 @@ def _solve_impl(prob, settings: ProxQPSettings, init) -> ProxQPSolution:
             jnp.stack([inf_norm(Px), inf_norm(Aty), inf_norm(Ctz),
                        inf_norm(prob.q)]), axis=0)
 
-        now_conv = (
-            (res_prim < settings.eps_abs + settings.eps_rel * max_prim)
-            & (res_dual < settings.eps_abs + settings.eps_rel * max_dual))
-        newly = active & now_conv & ~converged
+        eps_prim_t = settings.eps_abs + settings.eps_rel * max_prim
+        eps_dual_t = settings.eps_abs + settings.eps_rel * max_dual
+        now_conv = (res_prim < eps_prim_t) & (res_dual < eps_dual_t)
+        status = jnp.where(running & now_conv, Status.SOLVED, status)
+        if settings.check_infeasibility:
+            # Farkas certificates from the chunk's iterate differences
+            # (mirrors models/admm.py:_infeasibility_certificates for the
+            # split form). Products of the chunk-input point were cached at
+            # the previous check, so the deltas cost no extra matvecs.
+            eps_pi = jnp.asarray(settings.eps_prim_inf, dt)
+            eps_di = jnp.asarray(settings.eps_dual_inf, dt)
+            dy = y - y_in
+            dz = z - z_in
+            dx = x - x_in
+            ndyz = jnp.maximum(inf_norm(dy), inf_norm(dz))
+            stat = inf_norm((Aty - prods_prev["Aty"])
+                            + (Ctz - prods_prev["Ctz"]))
+            gap = jnp.sum(prob.b * dy, axis=-1) + jnp.sum(prob.d * dz, axis=-1)
+            sign_ok = jnp.all(dz >= -(eps_pi * ndyz)[..., None], axis=-1)
+            prim_inf = ((ndyz > 0)
+                        & (stat <= eps_pi * ndyz)
+                        & (gap <= -eps_pi * ndyz)
+                        & sign_ok)
+            ndx = inf_norm(dx)
+            Cdx = Cx - prods_prev["Cx"]
+            dual_inf = ((ndx > 0)
+                        & (inf_norm(Px - prods_prev["Px"]) <= eps_di * ndx)
+                        & (inf_norm(Ax - prods_prev["Ax"]) <= eps_di * ndx)
+                        & jnp.all(Cdx <= (eps_di * ndx)[..., None], axis=-1)
+                        & (jnp.sum(prob.q * dx, axis=-1) <= -eps_di * ndx))
+            # Anti-false-positive gates (see admm.py): the lane must be far
+            # from convergence and the deltas above the iterate noise floor.
+            noise = 16 * jnp.finfo(dt).eps
+            yz_scale = jnp.maximum(jnp.maximum(inf_norm(y), inf_norm(z)), 1.0)
+            prim_inf &= (res_prim > 10 * eps_prim_t) & (ndyz > noise * yz_scale)
+            dual_inf &= (res_dual > 10 * eps_dual_t) & (
+                ndx > noise * jnp.maximum(inf_norm(x), 1.0))
+            overridable = running & (status == Status.RUNNING)
+            status = jnp.where(overridable & prim_inf,
+                               Status.PRIMAL_INFEASIBLE, status)
+            status = jnp.where(overridable & dual_inf & ~prim_inf,
+                               Status.DUAL_INFEASIBLE, status)
+            prods_prev = {"Px": Px, "Aty": Aty, "Ctz": Ctz, "Ax": Ax, "Cx": Cx}
+        status = status.astype(jnp.int32)
+        newly = running & (status != Status.RUNNING)
         iters_done = jnp.where(newly, it, iters_done)
-        converged = converged | (active & now_conv)
         res_p = jnp.where(active, res_prim, res_p)
         res_d = jnp.where(active, res_dual, res_d)
 
@@ -334,38 +389,48 @@ def _solve_impl(prob, settings: ProxQPSettings, init) -> ProxQPSolution:
 
                 aa = anderson_mod.reset_aa(aa, trip)
 
-        return (x, y, s, z, rho, factor, converged, iters_done,
-                res_p, res_d, it, aa), None
+        return (x, y, s, z, rho, factor, status, iters_done,
+                res_p, res_d, it, aa, prods_prev), None
 
-    converged0 = jnp.zeros(batch, bool)
+    status0 = jnp.zeros(batch, jnp.int32)
     if settings.anderson_memory > 0:
         from . import anderson as anderson_mod
 
         aa0 = anderson_mod.init_aa_proxqp(prob, settings)
     else:
         aa0 = None
+    prods0 = None
+    if settings.check_infeasibility:
+        # Products at the start iterate so the first check's certificate
+        # deltas have a correct base point (same discipline as admm.py).
+        prods0 = {"Px": prob.matvec_P(x), "Aty": prob.matvec_At(y),
+                  "Ctz": prob.matvec_Ct(z), "Ax": prob.matvec_A(x),
+                  "Cx": prob.matvec_C(x)}
     carry = (
-        x, y, s, z, rho, factor, converged0,
+        x, y, s, z, rho, factor, status0,
         jnp.full(batch, settings.num_checks * settings.check_interval, jnp.int32),
         jnp.full(batch, jnp.inf, dt), jnp.full(batch, jnp.inf, dt),
-        jnp.zeros((), jnp.int32), aa0)
+        jnp.zeros((), jnp.int32), aa0, prods0)
 
     if settings.early_exit:
         def cond(c):
             it = c[10]
-            return (it < settings.num_checks * settings.check_interval) & ~jnp.all(c[6])
+            return ((it < settings.num_checks * settings.check_interval)
+                    & jnp.any(c[6] == Status.RUNNING))
 
         carry = jax.lax.while_loop(cond, lambda c: chunk_step(c, None)[0], carry)
     else:
         carry, _ = jax.lax.scan(chunk_step, carry, None, length=settings.num_checks)
 
-    x, y, s, z, rho, _, converged, iters_done, res_p, res_d, _, _ = carry
+    x, y, s, z, rho, _, status, iters_done, res_p, res_d, _, _, _ = carry
+    status = jnp.where(status == Status.RUNNING, Status.MAX_ITERATIONS,
+                       status).astype(jnp.int32)
     if orig_dims is not None:
         n0, me0, mi0 = orig_dims
         x, y, s, z = x[..., :n0], y[..., :me0], s[..., :mi0], z[..., :mi0]
     info = ProxQPInfo(
-        converged=converged, iterations=iters_done,
-        res_prim=res_p, res_dual=res_d, rho=rho)
+        converged=status == Status.SOLVED, iterations=iters_done,
+        res_prim=res_p, res_dual=res_d, rho=rho, status=status)
     return ProxQPSolution(x=x, s=s, y=y, z=z, info=info)
 
 

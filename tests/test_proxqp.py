@@ -377,3 +377,57 @@ def test_proxqp_anderson_sparse_path():
     sol = proxqp.solve_jit(sprob, st)
     assert bool(sol.info.converged)
     assert np.abs(np.asarray(sol.x) - x_ref).max() <= 1e-5
+
+
+def test_proxqp_primal_infeasibility_certificate():
+    """Contradictory equality rows (x1 = 0 and x1 = 1): the diverging dual
+    direction is a Farkas certificate; the reference loops its full budget
+    on such input (ProxQP.jl has no detection)."""
+    n = 4
+    P = np.eye(n)
+    q = np.zeros(n)
+    A = np.zeros((2, n)); A[0, 0] = 1.0; A[1, 0] = 1.0
+    b = np.array([0.0, 1.0])
+    C = np.zeros((1, n)); C[0, 1] = 1.0
+    d = np.array([1.0])
+    prob = qps.make_proxqp(P, q, A, b, C, d, dtype=np.float64)
+    st = qps.ProxQPSettings(max_iterations=2000, kkt_warm_start=False)
+    sol = proxqp.solve_jit(prob, st)
+    assert int(sol.info.status) == 4, int(sol.info.status)
+    assert not bool(sol.info.converged)
+    # Reference-style behavior on request: detection off runs the budget.
+    import dataclasses
+
+    off = proxqp.solve_jit(
+        prob, dataclasses.replace(st, check_infeasibility=False))
+    assert int(off.info.status) == 1
+
+
+def test_proxqp_dual_infeasibility_certificate():
+    """Unbounded problem (min -x1 s.t. x1 >= 0 direction free): flagged
+    DUAL_INFEASIBLE via the dx certificate."""
+    n = 3
+    P = np.zeros((n, n)); P[1, 1] = 1.0; P[2, 2] = 1.0
+    q = np.array([-1.0, 0.0, 0.0])
+    A = np.zeros((1, n)); A[0, 1] = 1.0   # x2 = 0 (feasible)
+    b = np.zeros(1)
+    C = np.zeros((1, n)); C[0, 0] = -1.0  # -x1 <= 0, x1 unbounded above
+    d = np.zeros(1)
+    prob = qps.make_proxqp(P, q, A, b, C, d, dtype=np.float64)
+    st = qps.ProxQPSettings(max_iterations=2000, kkt_warm_start=False)
+    sol = proxqp.solve_jit(prob, st)
+    assert int(sol.info.status) == 5, int(sol.info.status)
+
+
+def test_proxqp_status_solved_and_no_false_positives():
+    """Feasible instances keep converging with detection on (default) and
+    report status SOLVED — incl. under Anderson acceleration."""
+    import dataclasses
+
+    for seed in range(3):
+        prob = _random_split_problem(seed=seed)
+        for extra in ({}, dict(anderson_memory=8)):
+            sol = proxqp.solve_jit(
+                prob, dataclasses.replace(SETTINGS, **extra))
+            assert int(sol.info.status) == 3, (seed, extra)
+            assert bool(sol.info.converged)
