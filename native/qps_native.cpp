@@ -18,8 +18,110 @@
 // be structurally present. All indices are int32, values double.
 
 #include <cstdint>
+#include <cstddef>
+#include <vector>
 
 extern "C" {
+
+// Fill-reducing minimum-degree ordering on the symmetric pattern (upper CSC
+// input, same convention as qps_ldl_etree). The classical elimination-graph
+// algorithm with a quotient-graph representation (variables + elements, as
+// in Davis, "Direct Methods for Sparse Linear Systems", ch. 7): eliminating
+// a variable turns it into an element whose boundary is the union of its
+// variable neighbours and its elements' boundaries; exact external degrees
+// are recomputed for the affected variables only. Quasi-definite matrices
+// stay factorizable under ANY symmetric permutation (Vanderbei '95), so the
+// ordering is safe for the OSQP KKT system.
+//
+// perm[k] = original index of the k-th pivot. Returns 0, or -1 on invalid
+// structure. Host-side, single-threaded; the cost model is the same reason
+// the reference reaches for AMD via QDLDL (its default ordering).
+int32_t qps_mindeg_order(int32_t n, const int32_t* Ap, const int32_t* Ai,
+                         int32_t* perm) {
+  if (n <= 0) return -1;
+  // adj[v]: variable neighbours (indices < n); elems[v]: element ids.
+  std::vector<std::vector<int32_t>> adj(n), elems(n), elem_vars;
+  for (int32_t k = 0; k < n; ++k) {
+    if (Ap[k + 1] <= Ap[k] || Ai[Ap[k + 1] - 1] != k) return -1;
+    for (int32_t p = Ap[k]; p < Ap[k + 1] - 1; ++p) {
+      int32_t i = Ai[p];
+      if (i >= k || i < 0) return -1;
+      adj[i].push_back(k);
+      adj[k].push_back(i);
+    }
+  }
+  std::vector<int32_t> degree(n), mark(n, -1);
+  std::vector<int8_t> eliminated(n, 0), absorbed;
+  // Degree buckets with lazy deletion: stale entries are skipped when
+  // popped (degree mismatch or already eliminated).
+  std::vector<std::vector<int32_t>> bucket(n + 1);
+  for (int32_t v = 0; v < n; ++v) {
+    degree[v] = (int32_t)adj[v].size();
+    bucket[degree[v]].push_back(v);
+  }
+
+  // Reach(v): distinct live neighbours through adj + elements.
+  std::vector<int32_t> reach;
+  int32_t stamp = 0;
+  auto compute_reach = [&](int32_t v) {
+    ++stamp;
+    reach.clear();
+    for (int32_t u : adj[v])
+      if (!eliminated[u] && u != v && mark[u] != stamp) {
+        mark[u] = stamp;
+        reach.push_back(u);
+      }
+    for (int32_t e : elems[v])
+      for (int32_t u : elem_vars[e])
+        if (!eliminated[u] && u != v && mark[u] != stamp) {
+          mark[u] = stamp;
+          reach.push_back(u);
+        }
+  };
+
+  int32_t dmin = 0;
+  for (int32_t k = 0; k < n; ++k) {
+    // Pop the live minimum-degree variable.
+    int32_t best = -1;
+    while (best == -1) {
+      while (dmin <= n && bucket[dmin].empty()) ++dmin;
+      int32_t v = bucket[dmin].back();
+      bucket[dmin].pop_back();
+      if (!eliminated[v] && degree[v] == dmin) best = v;
+    }
+    perm[k] = best;
+    eliminated[best] = 1;
+
+    compute_reach(best);
+    // New element: boundary = reach(best). Elements adjacent to best are
+    // absorbed (their boundaries are subsets of the new one plus best, and
+    // every variable referencing them lies in reach(best) by the quotient-
+    // graph invariant), so references to them can be dropped exactly.
+    int32_t eid = (int32_t)elem_vars.size();
+    std::vector<int32_t> boundary = reach;  // copy: reach is reused below
+    for (int32_t e : elems[best]) absorbed[e] = 1;
+    elem_vars.push_back(boundary);
+    absorbed.push_back(0);
+    for (int32_t u : boundary) {
+      auto& ue = elems[u];
+      std::size_t w = 0;
+      for (std::size_t r = 0; r < ue.size(); ++r)
+        if (!absorbed[ue[r]]) ue[w++] = ue[r];
+      ue.resize(w);
+      ue.push_back(eid);
+      auto& ua = adj[u];
+      std::size_t wa = 0;
+      for (std::size_t r = 0; r < ua.size(); ++r)
+        if (!eliminated[ua[r]]) ua[wa++] = ua[r];
+      ua.resize(wa);
+      compute_reach(u);
+      degree[u] = (int32_t)reach.size();
+      bucket[degree[u]].push_back(u);
+      if (degree[u] < dmin) dmin = degree[u];
+    }
+  }
+  return 0;
+}
 
 // Computes the elimination tree and the nonzero count of each column of L.
 // work must hold n ints. Returns the total number of nonzeros in L (below

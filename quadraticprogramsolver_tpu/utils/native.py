@@ -49,8 +49,35 @@ def _load() -> ctypes.CDLL:
     lib.qps_ldl_solve_multi.restype = None
     lib.qps_ldl_solve_multi.argtypes = [
         ctypes.c_int32, ctypes.c_int32, i32p, i32p, f64p, f64p, f64p]
+    lib.qps_mindeg_order.restype = ctypes.c_int32
+    lib.qps_mindeg_order.argtypes = [ctypes.c_int32, i32p, i32p, i32p]
     _lib = lib
     return lib
+
+
+def mindeg_ordering(A) -> np.ndarray:
+    """Fill-reducing minimum-degree ordering of a symmetric scipy matrix.
+
+    First-party native implementation (quotient-graph minimum degree,
+    native/qps_native.cpp:qps_mindeg_order) of the role QDLDL fills with AMD
+    in the reference stack (LinearSystemSolvers.jl:49-75 uses QDLDL, whose
+    default ordering is AMD). Returns perm with perm[k] = original index of
+    the k-th pivot.
+    """
+    lib = _load()
+    U = sp.triu(sp.csc_matrix(A), format="csc")
+    U.sort_indices()
+    n = U.shape[0]
+    Ap = U.indptr.astype(np.int32)
+    Ai = U.indices.astype(np.int32)
+    perm = np.zeros(n, np.int32)
+    rc = lib.qps_mindeg_order(
+        n, _ptr(Ap, ctypes.c_int32), _ptr(Ai, ctypes.c_int32),
+        _ptr(perm, ctypes.c_int32))
+    if rc != 0:
+        raise ValueError("invalid structure for ordering (need explicit "
+                         "diagonal, sorted upper-triangular CSC)")
+    return perm
 
 
 def _ptr(a, typ):
@@ -66,10 +93,27 @@ class LDLFactorization:
     adaptive-rho updates (LinearSystemSolvers.jl:62-66, ProxQP.jl:205).
     """
 
-    def __init__(self, A):
-        """A: full symmetric (or already upper-triangular) scipy sparse."""
+    def __init__(self, A, ordering: str = "natural"):
+        """A: full symmetric (or already upper-triangular) scipy sparse.
+
+        ``ordering``: "natural" factors A as given; "mindeg" first applies
+        the native fill-reducing minimum-degree permutation (safe for
+        quasi-definite matrices — they are strongly factorizable under any
+        symmetric permutation, Vanderbei '95). Solves are transparent: b/x
+        stay in the original index space.
+        """
         lib = _load()
         A = sp.csc_matrix(A)
+        # Work on the full symmetric matrix so permutation keeps both
+        # triangles consistent before re-extracting the upper part.
+        A = sp.triu(A) + sp.triu(A, k=1).T
+        self._perm = None
+        if ordering == "mindeg":
+            perm = mindeg_ordering(A)
+            A = A[perm, :][:, perm].tocsc()
+            self._perm = perm
+        elif ordering != "natural":
+            raise ValueError(f"unknown ordering: {ordering!r}")
         n = A.shape[0]
         U = sp.triu(A, format="csc")
         U.sort_indices()
@@ -92,6 +136,7 @@ class LDLFactorization:
             raise ValueError(
                 "invalid structure: upper-triangular CSC with sorted indices "
                 "and explicit diagonal required")
+        self.nnz_L = int(nnz_l)
         self._Lp = np.zeros(n + 1, np.int32)
         self._Li = np.zeros(max(nnz_l, 1), np.int32)
         self._Lx = np.zeros(max(nnz_l, 1), np.float64)
@@ -117,8 +162,13 @@ class LDLFactorization:
         return int(pos)
 
     def refactor(self, A) -> "LDLFactorization":
-        """Recompute numeric values for a matrix with the identical pattern."""
-        U = sp.triu(sp.csc_matrix(A), format="csc")
+        """Recompute numeric values for a matrix with the identical pattern
+        (given in the ORIGINAL index space; any ordering is re-applied)."""
+        A = sp.csc_matrix(A)
+        A = sp.triu(A) + sp.triu(A, k=1).T
+        if self._perm is not None:
+            A = A[self._perm, :][:, self._perm].tocsc()
+        U = sp.triu(A, format="csc")
         U.sort_indices()
         if (not np.array_equal(U.indptr.astype(np.int32), self._upper_pattern[0])
                 or not np.array_equal(U.indices.astype(np.int32), self._upper_pattern[1])):
@@ -129,7 +179,10 @@ class LDLFactorization:
 
     def solve(self, b: np.ndarray) -> np.ndarray:
         lib = _load()
-        x = np.ascontiguousarray(b, dtype=np.float64).copy()
+        b = np.asarray(b, dtype=np.float64)
+        if self._perm is not None:
+            b = b[self._perm]
+        x = np.ascontiguousarray(b).copy()
         if x.ndim == 1:
             lib.qps_ldl_solve(
                 self.n, _ptr(self._Lp, ctypes.c_int32), _ptr(self._Li, ctypes.c_int32),
@@ -142,15 +195,23 @@ class LDLFactorization:
                 _ptr(self._Li, ctypes.c_int32), _ptr(self._Lx, ctypes.c_double),
                 _ptr(self._Dinv, ctypes.c_double), _ptr(cols, ctypes.c_double))
             x = np.ascontiguousarray(cols)
+        if self._perm is not None:
+            out = np.empty_like(x)
+            out[self._perm] = x
+            x = out
         return x
 
 
-def kkt_factorization(P, A, rho: float, sigma: float) -> LDLFactorization:
-    """Factor the OSQP quasi-definite KKT matrix [[P+sigma*I, A'], [A, -I/rho]]."""
+def kkt_factorization(P, A, rho: float, sigma: float,
+                      ordering: str = "mindeg") -> LDLFactorization:
+    """Factor the OSQP quasi-definite KKT matrix [[P+sigma*I, A'], [A, -I/rho]].
+
+    Defaults to the fill-reducing ordering — the reference's QDLDL path does
+    the same via AMD (its setup default)."""
     P = sp.csc_matrix(P)
     A = sp.csc_matrix(A)
     n, m = P.shape[0], A.shape[0]
     K = sp.bmat(
         [[P + sigma * sp.identity(n), A.T], [A, -sp.identity(m) / rho]],
         format="csc")
-    return LDLFactorization(K)
+    return LDLFactorization(K, ordering=ordering)
