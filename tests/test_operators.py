@@ -102,3 +102,35 @@ def test_spsd_sqrt_batched():
     M = np.asarray(spsd_sqrt(A))
     rebuilt = np.einsum("bji,bjk->bik", M, M)
     assert np.abs(rebuilt - A).max() <= 1e-7
+
+
+def test_monotone_smoothing_sparse_scale():
+    """The ProxQP application at matrix-free scale (a suite-sized stand-in
+    for benchmarks/large_smoothing.py's n=5e4 run): n=2000 through
+    make_sparse_proxqp + CG + Anderson, exact piecewise monotonicity."""
+    import scipy.sparse as sp
+
+    from quadraticprogramsolver_tpu.models import proxqp
+    from quadraticprogramsolver_tpu.problems.operators import (
+        monotone_smoothing_sparse_qp)
+
+    n = 2000
+    rng = np.random.default_rng(0)
+    t = np.linspace(0, 1, n)
+    y = np.sin(np.pi * t) + 0.05 * rng.standard_normal(n)
+    ref_idx = np.array([0, n // 2, n - 1])
+    P, q, C, d = monotone_smoothing_sparse_qp(y, ref_idx, smooth_order=2,
+                                              lam=50.0)
+    A = sp.csr_matrix(([1.0], ([0], [0])), shape=(1, n))
+    b = np.array([y[0]])
+    sprob = qps.make_sparse_proxqp(P, q, A, b, C, d, dtype=np.float64)
+    st = qps.ProxQPSettings(max_iterations=2000, eps_abs=1e-6, eps_rel=1e-6,
+                            cg_eps=1e-10, cg_max_iterations=300,
+                            anderson_memory=8)
+    sol = proxqp.solve_jit(sprob, st)
+    assert int(sol.info.status) == 3, int(sol.info.status)
+    x = np.asarray(sol.x)
+    half = n // 2
+    assert (np.diff(x[: half + 1]) >= -1e-6).all()
+    assert (np.diff(x[half:]) <= 1e-6).all()
+    assert abs(x[0] - y[0]) <= 1e-6
