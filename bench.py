@@ -178,6 +178,28 @@ def main():
 
     rate, batch, dt, sol, qp = best
 
+    # Factor/iterate split (VERDICT r1 item 8): time the factor stage
+    # (normal-matrix build + SPD inverse) in isolation; the remainder of the
+    # solve is chunks + checks + fixed dispatch.
+    import jax.numpy as jnp
+
+    from quadraticprogramsolver_tpu.models import kkt
+
+    rho_vec = jnp.full((batch,), settings.rho, jnp.float32)
+    sig = jnp.asarray(settings.sigma_for(jnp.float32), jnp.float32)
+    with jax.default_matmul_precision(settings.matmul_precision):
+        init_jit = jax.jit(
+            lambda qp, rho: kkt.cholesky_init(qp, rho, sig, settings)["M_inv"])
+        hard_sync(init_jit(qp, rho_vec))
+        factor_dt = None
+        for _ in range(3):
+            t0 = time.perf_counter()
+            hard_sync(init_jit(qp, rho_vec))
+            t = time.perf_counter() - t0
+            factor_dt = t if factor_dt is None else min(factor_dt, t)
+    log(f"factor stage (build+inverse, incl. dispatch): {factor_dt*1e3:.1f} ms "
+        f"of {dt*1e3:.1f} ms solve")
+
     # Accuracy audit vs the host f64 oracle: 16 lanes — 8 evenly spread plus
     # the 8 worst (highest-iteration) converged lanes, i.e. the stragglers
     # most likely to hide an accuracy problem (RunBenchmarks.jl:98-104 records
@@ -211,6 +233,8 @@ def main():
         "unit": "solves/sec/chip",
         "vs_baseline": round(float(rate) / BASELINE_SOLVES_PER_SEC, 3),
         "iterations_per_sec": round(iters_per_sec, 1),
+        "factor_ms": round(factor_dt * 1e3, 1),
+        "iterate_ms": round((dt - factor_dt) * 1e3, 1),
         "audit_n": len(devs),
         "audit_max_dev": float(f"{audit_max:.3e}") if devs else None,
     }))
