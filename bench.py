@@ -117,6 +117,11 @@ def main():
     # granularity cuts the straggler lanes' wasted iterations (max 50 -> 39)
     # and the marginal chunk+check is cheap (~36 ms per extra chunk at
     # B=2048; ci swept 10/13/16/25 -> 13 best).
+    # sigma_free_rhs: exact (non-proximal) ADMM with the G = M^{-1}A' cache —
+    # two dots per fused iteration instead of three, and the factor solves
+    # for [G g] directly without materializing M^{-1}. Safe here: the
+    # random_qp family has P >= 1e-2 I. Measured +5% (8168 vs 7798 solves/s)
+    # at identical iteration counts and audit (1.13e-5 vs 1.15e-5).
     settings = qps.Settings(
         max_iterations=2000,
         eps_abs=1e-4,
@@ -125,6 +130,7 @@ def main():
         adaptive_rho=True,
         check_interval=13,
         kkt_refinement_steps=0,
+        sigma_free_rhs=True,
         fused_chunk=on_tpu,
     )
 
@@ -188,8 +194,11 @@ def main():
     rho_vec = jnp.full((batch,), settings.rho, jnp.float32)
     sig = jnp.asarray(settings.sigma_for(jnp.float32), jnp.float32)
     with jax.default_matmul_precision(settings.matmul_precision):
+        # sigma_free caches {G, g} instead of {M_inv}; time whichever the
+        # settings produce (the factor stage either way).
         init_jit = jax.jit(
-            lambda qp, rho: kkt.cholesky_init(qp, rho, sig, settings)["M_inv"])
+            lambda qp, rho: list(
+                kkt.cholesky_init(qp, rho, sig, settings).values())[0])
         hard_sync(init_jit(qp, rho_vec))
         factor_dt = None
         for _ in range(3):

@@ -143,6 +143,24 @@ class Settings:
     #: HIGHEST precision, so the KKT solves still converge to full-f32
     #: solutions. None inherits matmul_precision.
     factor_precision: str | None = None
+    #: Sigma-free right-hand side for the dense CHOLESKY backend: drop the
+    #: proximal sigma*x term from the KKT RHS, so the x-update becomes
+    #:     xx = G (rho z - y) - g,   G = M^{-1} A',  g = M^{-1} q,
+    #: i.e. exact (non-proximal) ADMM on P + sigma*I. G and g are computed
+    #: ONCE per factorization by a blocked Gauss-Jordan multi-RHS solve that
+    #: never materializes M^{-1} (ops/spd_kernels.gj_solve_sweep) — the
+    #: factor does ~n^2(n/2+m) macs instead of n^3 + the per-iteration n^2
+    #: matvec, and the hot loop shrinks from 3 dependent matvecs to 2.
+    #: SEMANTICS: the fixed point solves the QP with P replaced by
+    #: P + sigma*I, so sigma_for() does NOT apply the f32 floor here — keep
+    #: sigma at (or below) its 1e-6 default and only use this on problems
+    #: where M = P + sigma*I + rho*A'A stays f32-invertible (e.g. P with a
+    #: positive-definite part, like the randomQp/portfolio families). The
+    #: termination tests still evaluate TRUE-problem residuals, so a lane
+    #: reports SOLVED only when the original QP's residuals pass eps.
+    #: Requires kkt_refinement_steps == 0 (refinement needs M^{-1}) and the
+    #: CHOLESKY (or AUTO-dense) backend.
+    sigma_free_rhs: bool = False
     #: Per-constraint penalty weighting: equality rows (l == u) get
     #: rho * rho_eq_scale (OSQP's vector-rho scheme — the reference's To-Do
     #: #1 "paramRho as a matrix"). 1.0 reproduces the reference's scalar rho.
@@ -169,6 +187,10 @@ class Settings:
         for name in ("eps_abs", "eps_rel", "rho", "sigma", "delta"):
             if getattr(self, name) <= 0:
                 raise ValueError(f"{name} must be positive")
+        if self.sigma_free_rhs and self.kkt_refinement_steps > 0:
+            raise ValueError(
+                "sigma_free_rhs caches only G = M^{-1}A' and g = M^{-1}q — "
+                "iterative refinement needs M^{-1}; set kkt_refinement_steps=0")
 
     @property
     def eps_admm(self) -> float:
@@ -181,7 +203,15 @@ class Settings:
         return -(-self.max_iterations // self.check_interval)
 
     def sigma_for(self, dtype) -> float:
-        """Proximal sigma with a dtype-aware floor (see SIGMA_F32_FLOOR)."""
+        """Proximal sigma with a dtype-aware floor (see SIGMA_F32_FLOOR).
+
+        With ``sigma_free_rhs`` the floor is NOT applied: there sigma
+        perturbs the SOLUTION (P becomes P + sigma*I at the fixed point),
+        not just the proximal step, so it must stay at the user's small
+        value; the floor's refinement-conditioning rationale is moot because
+        sigma_free_rhs excludes refinement."""
+        if self.sigma_free_rhs:
+            return self.sigma
         return sigma_for(self.sigma, dtype)
 
 

@@ -100,7 +100,11 @@ def _fused_chunk_ok(qp: QP, settings: Settings) -> bool:
     # measured: (n=512, m=256, refine>0) demands 18.8 MB and fails to
     # compile, while refine=0 at the same shape fits. Gate on the measured
     # boundary; oversize shapes fall back to the XLA chunk path.
-    mat_bytes = (qp.n * qp.n + qp.m * qp.n) * 4
+    # sigma_free replaces the n^2 M^{-1} with the (n, m) G.
+    if settings.sigma_free_rhs:
+        mat_bytes = 2 * qp.m * qp.n * 4
+    else:
+        mat_bytes = (qp.n * qp.n + qp.m * qp.n) * 4
     if settings.kkt_refinement_steps > 0:
         mat_bytes += qp.n * qp.n * 4
         if mat_bytes > 2_000_000:
@@ -132,11 +136,15 @@ def _run_chunk(qp: QP, settings: Settings, backend, state: SolverState):
         from ..ops.fused_admm import fused_admm_chunk
 
         active = state.status == Status.RUNNING
+        sigma_free = settings.sigma_free_rhs
         x, z, y, xp, zp, Ax, ATy = fused_admm_chunk(
-            state.kkt_cache["M_inv"], qp.A, qp.P, qp.q, qp.l, qp.u,
+            state.kkt_cache["G" if sigma_free else "M_inv"],
+            qp.A, qp.P, qp.q, qp.l, qp.u,
             state.x, state.z, state.y, rho_row, active,
             K=settings.check_interval, alpha=settings.alpha,
             sigma=settings.sigma_for(jnp.float32), refine=settings.kkt_refinement_steps,
+            sigma_free=sigma_free,
+            g=state.kkt_cache["g"] if sigma_free else None,
             interpret=jax.default_backend() != "tpu")
         return x, z, y, xp, zp, state.kkt_cache, (Ax, ATy)
 
@@ -499,6 +507,14 @@ def _solve_impl(qp: QP, settings: Settings, x0, z0=None, y0=None, rho0=None,
 
 def _solve_core(qp: QP, settings: Settings, x0, z0=None, y0=None, rho0=None,
                 term_scale=None, aa0=None):
+    if settings.sigma_free_rhs:
+        from ..core.settings import KKTBackendKind
+
+        if kkt_mod.resolve_backend(settings.kkt_backend, qp) is not \
+                KKTBackendKind.CHOLESKY:
+            raise ValueError(
+                "sigma_free_rhs is a dense CHOLESKY-backend optimization; "
+                "other backends build the RHS per-solve anyway")
     backend = kkt_mod.get_backend(settings.kkt_backend, qp)
     state = _init_state(qp, settings, x0, backend, z0, y0, rho0, aa0)
     max_chunks = settings.num_checks

@@ -44,7 +44,7 @@ from ..core.settings import (
     KKTBackendKind,
     Settings,
 )
-from ..ops.linalg import add_scaled_identity, matvec, spd_inverse, sym
+from ..ops.linalg import add_scaled_identity, matvec, spd_inverse, spd_solve, sym
 
 
 def resolve_backend(kind: KKTBackendKind, qp) -> KKTBackendKind:
@@ -122,7 +122,20 @@ def cholesky_init(qp: QP, rho, sigma, settings: Settings):
     # evaluated against the true M at HIGHEST inside the chunk kernel.
     prec = settings.factor_precision or settings.matmul_precision
     with jax.default_matmul_precision(prec):
-        return {"M_inv": spd_inverse(_build_normal_matrix(qp, rho_row, sigma))}
+        M = _build_normal_matrix(qp, rho_row, sigma)
+        if settings.sigma_free_rhs:
+            # Only M^{-1}[A' q] is ever needed: the sigma-free x-update is
+            # xx = G(rho z - y) - g. Solve for both columns blocks in one
+            # sweep without materializing M^{-1} (see Settings.sigma_free_rhs
+            # and ops/spd_kernels.gj_solve_sweep).
+            At = jnp.broadcast_to(jnp.swapaxes(qp.A, -1, -2),
+                                  qp.batch_shape + (qp.n, qp.m))
+            R = jnp.concatenate([At, qp.q[..., :, None]], axis=-1)
+            X = spd_solve(M, R)
+            # G stays (n, m) — the consumers contract its last axis directly
+            # (dot_general ((1,), (1,))), so no transpose is materialized.
+            return {"G": X[..., :, : qp.m], "g": X[..., :, qp.m]}
+        return {"M_inv": spd_inverse(M)}
 
 
 def cholesky_refactor(cache, qp: QP, rho, sigma, settings: Settings):
@@ -132,6 +145,10 @@ def cholesky_refactor(cache, qp: QP, rho, sigma, settings: Settings):
 def cholesky_solve(cache, qp: QP, x, z, y, rho, settings: Settings):
     sigma = jnp.asarray(settings.sigma_for(qp.dtype), qp.dtype)
     rho_row = rho_rows(qp, rho, settings)
+    if settings.sigma_free_rhs:
+        t = rho_row * z - y
+        xx = jnp.einsum("...k,...nk->...n", t, cache["G"]) - cache["g"]
+        return xx, qp.matvec_A(xx), cache
     b = _normal_rhs(qp, x, z, y, rho_row, sigma)
     M_inv = cache["M_inv"]
     xx = matvec(M_inv, b)

@@ -46,9 +46,19 @@ from jax.experimental.pallas import tpu as pltpu
 
 def _chunk_kernel(active_all_ref,                   # scalar-prefetch (B,) SMEM
                   *refs, K: int, alpha: float, sigma: float, refine: int,
-                  lanes: int):
+                  lanes: int, sigma_free: bool = False):
     # P is only an operand (and only DMA'd) when refinement is on.
-    if refine > 0:
+    g_ref = None
+    if sigma_free:
+        # Sigma-free RHS: the first matrix is G = M^{-1}A' (kept (n, m) — the
+        # dot contracts its last axis) and the per-lane x-update is
+        # xx = G(rho z - y) - g — two dots per iteration instead of three
+        # (see Settings.sigma_free_rhs). q is not an operand (it lives in g).
+        (Minv_ref, A_ref, g_ref, l_ref, u_ref, rho_ref,
+         x_ref, z_ref, y_ref,
+         xo_ref, zo_ref, yo_ref, xpo_ref, zpo_ref, Axo_ref, ATyo_ref) = refs
+        P_ref = q_ref = None
+    elif refine > 0:
         (Minv_ref, A_ref, P_ref, q_ref, l_ref, u_ref, rho_ref,
          x_ref, z_ref, y_ref,
          xo_ref, zo_ref, yo_ref, xpo_ref, zpo_ref, Axo_ref, ATyo_ref) = refs
@@ -88,8 +98,9 @@ def _chunk_kernel(active_all_ref,                   # scalar-prefetch (B,) SMEM
     @pl.when(any_active)
     def _():
         A = [A_ref[i] for i in range(L)]
-        Minv = [Minv_ref[i] for i in range(L)]
-        q = [q_ref[i] for i in range(L)]   # vector refs are (L, 1, len); [i] -> (1, len)
+        Minv = [Minv_ref[i] for i in range(L)]  # G (n, m) when sigma_free
+        q = None if sigma_free else [q_ref[i] for i in range(L)]
+        g = [g_ref[i] for i in range(L)] if sigma_free else None
         lo = [l_ref[i] for i in range(L)]
         up = [u_ref[i] for i in range(L)]
         rho = [rho_ref[i] for i in range(L)]   # (1, m) per-constraint penalties
@@ -100,9 +111,13 @@ def _chunk_kernel(active_all_ref,                   # scalar-prefetch (B,) SMEM
             # Stage-interleaved across lanes: each stage emits L independent
             # dots back-to-back so the MXU pipeline stays fed.
             t = [rho[i] * z[i] - y[i] for i in range(L)]               # (1, m)
-            rhs = [sg * x[i] - q[i] + dot(t[i], A[i], ((1,), (0,)))
-                   for i in range(L)]                                  # (1, n)
-            xx = [dot(rhs[i], Minv[i], ((1,), (0,))) for i in range(L)]
+            if sigma_free:
+                xx = [dot(t[i], Minv[i], ((1,), (1,))) - g[i]
+                      for i in range(L)]                               # (1, n)
+            else:
+                rhs = [sg * x[i] - q[i] + dot(t[i], A[i], ((1,), (0,)))
+                       for i in range(L)]                              # (1, n)
+                xx = [dot(rhs[i], Minv[i], ((1,), (0,))) for i in range(L)]
             for _r in range(refine):
                 # r = rhs - M xx with M = P + sigma*I + A'(rho o (A .))
                 Axx = [dot(xx[i], A[i], ((1,), (1,))) for i in range(L)]
@@ -146,18 +161,25 @@ def _chunk_kernel(active_all_ref,                   # scalar-prefetch (B,) SMEM
 
 @functools.partial(
     jax.jit,
-    static_argnames=("K", "alpha", "sigma", "refine", "lanes", "interpret"))
+    static_argnames=("K", "alpha", "sigma", "refine", "lanes", "sigma_free",
+                     "interpret"))
 def fused_admm_chunk(Minv, A, P, q, l, u, x, z, y, rho_row, active,
                      *, K: int, alpha: float, sigma: float, refine: int = 0,
-                     lanes: int = 1, interpret: bool = False):
+                     lanes: int = 1, sigma_free: bool = False,
+                     interpret: bool = False, g=None):
     """Run K fused ADMM iterations for every active lane.
 
     Args:
-      Minv: (B, n, n) cached inverse of P + sigma*I + A'diag(rho_row)A (f32)
+      Minv: (B, n, n) cached inverse of P + sigma*I + A'diag(rho_row)A (f32).
+        With ``sigma_free``: instead the (B, n, m) matrix G = M^{-1}A', and
+        ``g`` = (B, n) M^{-1}q — the x-update is then xx = G(rho z - y) - g
+        (two dots/iteration instead of three; P/q are unused and may be
+        None). See Settings.sigma_free_rhs.
       A: (B, m, n); P: (B, n, n); q,x: (B, n); l,u,z,y,rho_row: (B, m);
       active: (B,) bool; refine: in-kernel iterative-refinement passes per
-      KKT solve. P is only an operand (DMA'd/resident) when refine > 0;
-      VMEM per lane is n^2 + m*n floats (+ n^2 with refinement).
+      KKT solve (sigma_free excludes refine > 0). P is only an operand
+      (DMA'd/resident) when refine > 0; VMEM per lane is n^2 + m*n floats
+      (+ n^2 with refinement), or 2*m*n with sigma_free.
       lanes: independent lanes interleaved per grid step (B must divide).
     Returns:
       (x, z, y, x_prev, z_prev, Ax, ATy) after K iterations (prev = start of
@@ -165,15 +187,18 @@ def fused_admm_chunk(Minv, A, P, q, l, u, x, z, y, rho_row, active,
       convergence-check products of the returned x, y computed from the
       VMEM-resident A).
     """
-    B, n = q.shape
+    B, n = x.shape
     m = l.shape[-1]
+    if sigma_free and (refine > 0 or g is None):
+        raise ValueError("sigma_free needs g and excludes refine > 0")
     if n % 128 or m % 128:
         raise ValueError(f"fused chunk needs n, m multiples of 128; got {(n, m)}")
     if B % lanes:
         raise ValueError(f"batch {B} not divisible by lanes={lanes}")
     f32 = jnp.float32
     kernel = functools.partial(_chunk_kernel, K=K, alpha=alpha, sigma=sigma,
-                               refine=refine, lanes=lanes)
+                               refine=refine, lanes=lanes,
+                               sigma_free=sigma_free)
 
     grid = (B // lanes,)
     # index_map receives (grid_idx, *scalar_prefetch_refs) under
@@ -191,9 +216,10 @@ def fused_admm_chunk(Minv, A, P, q, l, u, x, z, y, rho_row, active,
             num_scalar_prefetch=1,  # active mask, read per program_id
             grid=grid,
             in_specs=(
-                [mat(n, n), mat(m, n)]
+                [mat(n, m) if sigma_free else mat(n, n), mat(m, n)]
                 + ([mat(n, n)] if refine > 0 else [])
-                + [vec(n), vec(m), vec(m), vec(m), vec(n), vec(m), vec(m)]
+                + [vec(n)]  # g when sigma_free, else q
+                + [vec(m), vec(m), vec(m), vec(n), vec(m), vec(m)]
             ),
             out_specs=[vec(n), vec(m), vec(m), vec(n), vec(m), vec(m), vec(n)],
         ),
@@ -211,7 +237,8 @@ def fused_admm_chunk(Minv, A, P, q, l, u, x, z, y, rho_row, active,
         active.astype(jnp.int32),
         Minv.astype(f32), A.astype(f32),
         *(([P.astype(f32)]) if refine > 0 else []),
-        q.astype(f32)[:, None, :], l.astype(f32)[:, None, :],
+        (g if sigma_free else q).astype(f32)[:, None, :],
+        l.astype(f32)[:, None, :],
         u.astype(f32)[:, None, :], rho_row.astype(f32)[:, None, :],
         x.astype(f32)[:, None, :], z.astype(f32)[:, None, :],
         y.astype(f32)[:, None, :],

@@ -97,6 +97,33 @@ def spd_inverse(M: jax.Array) -> jax.Array:
     return spd_inverse_blocked(M)
 
 
+def spd_solve(M: jax.Array, R: jax.Array) -> jax.Array:
+    """Batched SPD multi-RHS solve M X = R ((*B, n, n) x (*B, n, k)) without
+    materializing M^{-1}.
+
+    Dispatch mirrors :func:`spd_inverse`: on TPU/f32/128-multiples the
+    blocked Gauss-Jordan sweep (Pallas pivot kernel, RHS-only updates —
+    ~n^2(n/2 + k) macs vs n^3 + n^2 k for inverse-then-multiply); elsewhere
+    a Cholesky solve. RHS columns are zero-padded to the sweep's 128-lane
+    tile internally and sliced back.
+    """
+    import math
+
+    batch = int(math.prod(M.shape[:-2]))
+    k = R.shape[-1]
+    if (jax.default_backend() == "tpu" and M.dtype == jnp.float32
+            and M.shape[-1] % 128 == 0 and batch >= 4):
+        from .spd_kernels import gj_solve_sweep
+
+        k_pad = -(-k // 128) * 128
+        if k_pad != k:
+            pad = [(0, 0)] * (R.ndim - 1) + [(0, k_pad - k)]
+            R = jnp.pad(R, pad)
+        return gj_solve_sweep(M, R)[..., :k]
+    L = jnp.linalg.cholesky(M)
+    return jax.scipy.linalg.cho_solve((L, True), R)
+
+
 # Below this size the matmul recursion stops paying; use the LAPACK-style path.
 _SPD_BASE_N = 64
 

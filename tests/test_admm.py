@@ -300,3 +300,35 @@ def test_segmented_respects_budget_non_divisible():
     seg = solve_segmented(qp, st, segment_iterations=40)
     assert int(seg.info.status) == qps.Status.MAX_ITERATIONS
     assert int(seg.info.iterations) == 100
+
+
+def test_sigma_free_rhs_matches_default():
+    """sigma_free_rhs (exact ADMM on P + sigma*I, G/g cache) reaches the same
+    solution as the proximal default; at f64 with tiny sigma the two fixed
+    points coincide to solver tolerance."""
+    import dataclasses
+
+    s_free = dataclasses.replace(
+        TEST_SETTINGS, sigma_free_rhs=True, kkt_refinement_steps=0,
+        sigma=1e-10, kkt_backend=KKTBackendKind.CHOLESKY)
+    for cls in (ProblemClass.RANDOM_QP, ProblemClass.PORTFOLIO):
+        seed = FEASIBLE_SEEDS[cls][0]
+        data, ref, sol = _solve_both(cls, 10, seed, settings=s_free)
+        assert ref.status == 3
+        assert int(sol.info.status) >= qps.Status.SOLVED_ADMM
+        dev = np.abs(np.asarray(sol.x)[: data.n] - ref.x).max()
+        assert dev <= ABS_DEV_THR, f"{cls}: {dev}"
+
+
+def test_sigma_free_rhs_guards():
+    import dataclasses
+
+    with pytest.raises(ValueError, match="refinement"):
+        qps.Settings(sigma_free_rhs=True, kkt_refinement_steps=1)
+    # Non-dense / iterative backends reject the flag at solve time.
+    s = dataclasses.replace(TEST_SETTINGS, sigma_free_rhs=True,
+                            kkt_refinement_steps=0,
+                            kkt_backend=KKTBackendKind.CG)
+    qp = _padded_qp(qps.generate_random_qp(ProblemClass.RANDOM_QP, 10, seed=0))
+    with pytest.raises(ValueError, match="sigma_free_rhs"):
+        qps.solve(qp, s)

@@ -164,3 +164,64 @@ def test_fused_chunk_with_refinement_matches_xla():
     assert (np.asarray(s1.info.status) >= 2).all()
     dev = np.abs(np.asarray(s0.x) - np.asarray(s1.x)).max()
     assert dev <= 5e-4, dev
+
+
+def test_fused_chunk_sigma_free_matches_xla_chunk():
+    """sigma_free variant: G'/g operands, 2-dot iteration, same chunk result
+    as the XLA sigma-free path."""
+    st = qps.Settings(rho=0.1, check_interval=25, kkt_refinement_steps=0,
+                      sigma_free_rhs=True, sigma=1e-7)
+    qp = _fleet()
+    rho, cache = _setup(qp, st)
+    assert set(cache) == {"G", "g"}
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.standard_normal((B, N)), jnp.float32)
+    z = jnp.asarray(rng.standard_normal((B, M)), jnp.float32)
+    y = jnp.asarray(rng.standard_normal((B, M)), jnp.float32)
+    active = jnp.array([True, False, True, True])
+
+    rho_row = jnp.broadcast_to(rho[:, None], (B, M))
+    fx, fz, fy, fxp, fzp, fAx, fATy = fused_admm_chunk(
+        cache["G"], qp.A, None, None, qp.l, qp.u, x, z, y, rho_row, active,
+        K=st.check_interval, alpha=st.alpha,
+        sigma=st.sigma_for(jnp.float32), sigma_free=True, g=cache["g"],
+        interpret=True)
+
+    from quadraticprogramsolver_tpu.core.state import SolverState
+
+    state = SolverState(
+        x=x, z=z, y=y, rho=rho, rho_cand=rho,
+        status=jnp.where(active, 0, 3).astype(jnp.int32),
+        iterations=jnp.zeros(B, jnp.int32),
+        res_prim=jnp.zeros(B), res_dual=jnp.zeros(B),
+        iteration=jnp.zeros((), jnp.int32), kkt_cache=cache)
+    st_xla = qps.Settings(rho=0.1, check_interval=25, kkt_refinement_steps=0,
+                          sigma_free_rhs=True, sigma=1e-7, fused_chunk=False)
+    backend = kkt.get_backend(st_xla.kkt_backend, qp)
+    rx, rz, ry, rxp, rzp, _, _ = admm._run_chunk(qp, st_xla, backend, state)
+
+    for f, r, name in ((fx, rx, "x"), (fz, rz, "z"), (fy, ry, "y"),
+                       (fxp, rxp, "xp"), (fzp, rzp, "zp")):
+        f, r = np.asarray(f), np.asarray(r)
+        scale = np.abs(r).max() + 1.0
+        assert np.abs(f - r).max() / scale <= 1e-5, (
+            f"{name}: max dev {np.abs(f - r).max()} scale {scale}")
+
+
+def test_solve_sigma_free_end_to_end_fused():
+    """Full solve with sigma_free_rhs + fused_chunk (interpret on CPU) agrees
+    with the plain fused solve on a feasible f32 fleet."""
+    qp = _fleet()
+    base = qps.Settings(rho=0.1, eps_abs=1e-5, eps_rel=1e-5,
+                        max_iterations=2000, fused_chunk=True,
+                        kkt_refinement_steps=0)
+    import dataclasses
+    free = dataclasses.replace(base, sigma_free_rhs=True, sigma=1e-7)
+    sol_a = qps.solve_jit(qp, base)
+    sol_b = qps.solve_jit(qp, free)
+    st_a = np.asarray(sol_a.info.status)
+    st_b = np.asarray(sol_b.info.status)
+    ok = (st_a >= 2) & (st_b >= 2) & (st_a <= 3) & (st_b <= 3)
+    assert ok.any()
+    dev = np.abs(np.asarray(sol_a.x)[ok] - np.asarray(sol_b.x)[ok]).max()
+    assert dev <= 1e-3, dev

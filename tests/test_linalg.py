@@ -64,3 +64,42 @@ def test_spd_inverse_blocked_accuracy():
     # One refinement step contracts the residual: ||I - got@M|| must be << 1.
     resid = np.abs(np.eye(n) - got @ np.asarray(M, np.float64)).max()
     assert resid < 1e-2, resid
+
+
+def test_gj_solve_sweep_matches_solve():
+    """Blocked Gauss-Jordan multi-RHS solve (no M^{-1}) vs numpy."""
+    from quadraticprogramsolver_tpu.ops.spd_kernels import gj_solve_sweep
+
+    M = _spd((5,), 256, seed=3)
+    rng = np.random.default_rng(4)
+    R = rng.standard_normal((5, 256, 129))
+    X = np.asarray(gj_solve_sweep(M, R, pivot_inverse=linalg.spd_inverse))
+    ref = np.linalg.solve(M, R)
+    scale = np.abs(ref).max()
+    assert np.abs(X - ref).max() / scale <= 1e-9
+
+
+def test_gj_solve_sweep_f32_ill_conditioned():
+    """f32 accuracy on a normal-matrix-like conditioning (~1e4)."""
+    from quadraticprogramsolver_tpu.ops.spd_kernels import gj_solve_sweep
+
+    rng = np.random.default_rng(5)
+    n = 128
+    Q, _ = np.linalg.qr(rng.standard_normal((n, n)))
+    w = np.logspace(-4, 0, n)
+    M = ((Q * w) @ Q.T).astype(np.float32)[None].repeat(4, 0)
+    R = rng.standard_normal((4, n, 32)).astype(np.float32)
+    X = np.asarray(gj_solve_sweep(M, R, pivot_inverse=linalg.spd_inverse))
+    ref = np.linalg.solve(np.asarray(M, np.float64), np.asarray(R, np.float64))
+    rel = np.abs(X - ref).max() / np.abs(ref).max()
+    # cond * eps_f32 ~ 1e4 * 6e-8: same error class as the inverse path.
+    assert rel <= 5e-3, rel
+
+
+def test_spd_solve_dispatcher():
+    M = _spd((2,), 64, seed=6)
+    rng = np.random.default_rng(7)
+    R = rng.standard_normal((2, 64, 5))
+    X = np.asarray(linalg.spd_solve(M, R))
+    ref = np.linalg.solve(M, R)
+    assert np.abs(X - ref).max() / np.abs(ref).max() <= 1e-9
