@@ -114,11 +114,16 @@ def main():
     # carry_rho=False: on this workload carrying the adapted rho between
     # ticks costs ~30% more iterations than carrying the iterates alone
     # (see frontends/sequence.py docstring).
+    # Timing discipline: through the remote-TPU relay block_until_ready can
+    # return before execution finishes — pull one scalar to host instead.
+    def hard_sync(x):
+        return float(np.asarray(x).ravel()[0])
+
     sols = solve_sequence_jit(qp_seq, st, carry_rho=False)
-    jax.block_until_ready(sols.x)
+    hard_sync(sols.x)
     t0 = time.perf_counter()
     sols = solve_sequence_jit(qp_seq, st, carry_rho=False)
-    jax.block_until_ready(sols.x)
+    hard_sync(sols.x)
     wall = time.perf_counter() - t0
 
     status = np.asarray(sols.info.status)            # (T, B)
