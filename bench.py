@@ -135,13 +135,13 @@ def main():
     )
 
     best = None
-    # Single fleet size to bound compile count: every dispatch through the
-    # remote-TPU relay costs ~33 ms fixed latency, so large fleets amortize
-    # it; B=2048 measured best in the round-1 sweep (512 -> 4227/s, 1024 ->
-    # 4803/s, 2048 -> 5019/s; round-2 factor+check wins lift 2048 to ~7300/s)
-    # and leaves HBM headroom for the AtA temporary (B=4096 would not fit
-    # P + A + M + M_inv at n=512 in 16 GB).
-    for batch in (2048,):
+    # Fleet-size choice: every dispatch through the remote-TPU relay costs
+    # ~33 ms fixed latency, so large fleets amortize it (round-1 sweep:
+    # 512 -> 4227/s, 1024 -> 4803/s, 2048 -> 5019/s). B=4096 does not fit
+    # P + A + M(+M_inv) at n=512 in 16 GB; B=3072 fits once sigma_free_rhs
+    # replaces the n^2 M^{-1} with the (n, m) G (measured 8660 vs 8385
+    # solves/s). 2048 is the fallback if the larger fleet OOMs.
+    for batch in (3072, 2048):
         try:
             t0 = time.perf_counter()
             qp = device_random_qp_fleet(batch, N, M, SEED)
@@ -171,9 +171,11 @@ def main():
                 f"{rate:.0f} solves/s")
             if best is None or rate > best[0]:
                 best = (rate, batch, dt, sol, qp)
-        except Exception as e:  # OOM at larger fleets is expected
+        except Exception as e:  # OOM at the larger fleet is possible
             log(f"B={batch}: failed ({type(e).__name__}: {e})")
-            break
+            continue  # fall through to the smaller fleet
+        if best is not None:
+            break  # first (largest) size that runs wins; skip the fallback
 
     if best is None:
         log("no configuration ran")
