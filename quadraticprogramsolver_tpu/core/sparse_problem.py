@@ -9,10 +9,17 @@ matvec is one XLA gather plus dense VPU math:
 
     y = sum_k vals[:, k] * x[cols[:, k]]
 
-Gathers lower well on TPU; jax.experimental.sparse BCOO matvecs lower to
-sort/scatter and measured ~1000x slower at n=1e5 (and crashed the worker
-inside the full solve). Transposed products A'w avoid scatter entirely by
+Gathers lower well on TPU. Transposed products A'w avoid scatter entirely by
 also storing A' in row-ELL (its own gather). P is stored once (symmetric).
+
+An optional **BCOO storage** (``make_sparse_qp(..., storage="bcoo")``) keeps
+the same operator protocol on `jax.experimental.sparse.BCOO` matrices.
+History: in early round-2 backend builds BCOO matvecs lowered to
+sort/scatter, measured ~1000x slower at n=1e5 and crashed the worker inside
+the full solve — ELL was load-bearing. A backend update fixed the lowering
+(re-tested: 13.8 ms/matvec BCOO vs 19.1 ms ELL at n=1e5, nnz=1e6 — ELL pays
+for padding every row to the max row count). ELL remains the default until
+BCOO has soaked longer in-solve; both are covered by tests.
 
 SparseQP is unbatched by design: the fleet axis is for dense padded
 instances; a single huge sparse QP scales via consensus block-splitting
@@ -57,6 +64,12 @@ class SparseQP:
     u: jax.Array       # (m,)
     dP: jax.Array      # (n,) diag(P)
     dAtA: jax.Array    # (n,) diag(A'A)
+    #: Optional BCOO storage (storage="bcoo"): the ELL fields above are then
+    #: None and the matvecs dispatch on these instead. At_bcoo is A'
+    #: materialized (its own row-major BCOO) so A'w never transposes.
+    P_bcoo: jax.Array | None = None
+    A_bcoo: jax.Array | None = None
+    At_bcoo: jax.Array | None = None
 
     @property
     def n(self) -> int:
@@ -81,12 +94,18 @@ class SparseQP:
     # -- operator protocol --
 
     def matvec_P(self, v: jax.Array) -> jax.Array:
+        if self.P_bcoo is not None:
+            return self.P_bcoo @ v
         return _ell_matvec(self.P_vals, self.P_cols, v)
 
     def matvec_A(self, v: jax.Array) -> jax.Array:
+        if self.A_bcoo is not None:
+            return self.A_bcoo @ v
         return _ell_matvec(self.A_vals, self.A_cols, v)
 
     def matvec_At(self, w: jax.Array) -> jax.Array:
+        if self.At_bcoo is not None:
+            return self.At_bcoo @ w
         return _ell_matvec(self.At_vals, self.At_cols, w)
 
     def diag_P(self) -> jax.Array:
@@ -97,6 +116,14 @@ class SparseQP:
 
     def diag_AtWA(self, w: jax.Array) -> jax.Array:
         """diag(A' diag(w) A) = sum_k At_vals^2 * w[At_cols] per row."""
+        if self.At_bcoo is not None:
+            # sum over A' rows: (A'_{ij})^2 w_j — one BCOO matvec on w with
+            # squared values (same sparsity).
+            from jax.experimental import sparse as jsparse
+
+            sq = jsparse.BCOO((self.At_bcoo.data ** 2, self.At_bcoo.indices),
+                              shape=self.At_bcoo.shape)
+            return sq @ w
         return jnp.sum(self.At_vals ** 2 * w[self.At_cols], axis=-1)
 
     def objective(self, x: jax.Array) -> jax.Array:
@@ -209,25 +236,53 @@ def _to_ell(M, dtype) -> tuple[np.ndarray, np.ndarray]:
     return vals, cols
 
 
-def make_sparse_qp(P, q, A, l, u, dtype=np.float32) -> SparseQP:
-    """Build a SparseQP from scipy sparse matrices (host-side)."""
+def _to_bcoo(M, dtype):
+    """scipy sparse -> row-major-sorted BCOO."""
+    import scipy.sparse as sp
+    from jax.experimental import sparse as jsparse
+
+    M = sp.csr_matrix(M).astype(dtype)
+    M.sort_indices()
+    coo = M.tocoo()
+    idx = np.stack([coo.row.astype(np.int32), coo.col.astype(np.int32)], 1)
+    return jsparse.BCOO((jnp.asarray(coo.data), jnp.asarray(idx)),
+                        shape=M.shape, indices_sorted=True,
+                        unique_indices=True)
+
+
+def make_sparse_qp(P, q, A, l, u, dtype=np.float32,
+                   storage: str = "ell") -> SparseQP:
+    """Build a SparseQP from scipy sparse matrices (host-side).
+
+    ``storage``: "ell" (default) or "bcoo" — see the module docstring for
+    the measured trade-off.
+    """
     import scipy.sparse as sp
 
     P = sp.csr_matrix(P).astype(dtype)
     A = sp.csr_matrix(A).astype(dtype)
     dP = np.asarray(P.diagonal(), dtype)
     dAtA = np.asarray(A.multiply(A).sum(axis=0)).ravel().astype(dtype)
+    common = dict(
+        q=jnp.asarray(np.asarray(q, dtype)),
+        l=jnp.asarray(np.asarray(l, dtype)),
+        u=jnp.asarray(np.asarray(u, dtype)),
+        dP=jnp.asarray(dP), dAtA=jnp.asarray(dAtA))
+    if storage == "bcoo":
+        return SparseQP(
+            P_vals=None, P_cols=None, A_vals=None, A_cols=None,
+            At_vals=None, At_cols=None,
+            P_bcoo=_to_bcoo(P, dtype), A_bcoo=_to_bcoo(A, dtype),
+            At_bcoo=_to_bcoo(A.T.tocsr(), dtype), **common)
+    if storage != "ell":
+        raise ValueError(f"storage must be 'ell' or 'bcoo'; got {storage!r}")
     Pv, Pc = _to_ell(P, dtype)
     Av, Ac = _to_ell(A, dtype)
     Atv, Atc = _to_ell(A.T.tocsr(), dtype)
     return SparseQP(
         P_vals=jnp.asarray(Pv), P_cols=jnp.asarray(Pc),
         A_vals=jnp.asarray(Av), A_cols=jnp.asarray(Ac),
-        At_vals=jnp.asarray(Atv), At_cols=jnp.asarray(Atc),
-        q=jnp.asarray(np.asarray(q, dtype)),
-        l=jnp.asarray(np.asarray(l, dtype)),
-        u=jnp.asarray(np.asarray(u, dtype)),
-        dP=jnp.asarray(dP), dAtA=jnp.asarray(dAtA))
+        At_vals=jnp.asarray(Atv), At_cols=jnp.asarray(Atc), **common)
 
 
 def make_sparse_proxqp(P, q, A, b, C, d, dtype=np.float32) -> SparseProxQP:

@@ -622,10 +622,11 @@ def solve_segmented(qp: QP, settings: Settings = Settings(),
     program to the segment boundary: segments run with ``adaptive_rho=False``
     and the host applies the reference's candidate + hysteresis rule
     (m:268-272, jl:47-52) between them, at segment rather than
-    check-interval cadence. This exists for the n~1e5 matrix-free path on
-    the remote-TPU backend, where any adaptive-rho program reproducibly
-    faults/hangs the worker (see benchmarks/large_sparse.py) while the
-    rho-static program is stable; the coarser adaptation loses little — rho
+    check-interval cadence. Originally the workaround for a remote-TPU
+    backend bug (any adaptive-rho program at n~1e5 faulted the worker; a
+    backend update fixed it — benchmarks/large_sparse.py now defaults to
+    the monolithic in-program solve). Still useful when a backend limits
+    single-program runtime; the coarser adaptation loses little — rho
     retuning matters on the hundreds-of-iterations scale, not tens.
 
     Note: per-lane iteration counts are exact for lanes that finish in the
