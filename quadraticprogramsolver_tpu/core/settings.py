@@ -235,6 +235,13 @@ class ProxQPSettings:
     #: from the previous iterate). Ignored for dense problems.
     cg_eps: float = 1e-9
     cg_max_iterations: int = 200
+    #: Relative inner tolerance: stop CG at cg_rel_eps * ||r0|| as well
+    #: (inexact prox-ALM forcing term — with the warm-started carry the
+    #: inner accuracy tightens as the outer iteration converges). 0
+    #: disables. On ill-conditioned operators (e.g. squared difference
+    #: matrices) an absolute f32 tolerance is unreachable and every outer
+    #: iteration burns the full cg_max_iterations without this.
+    cg_rel_eps: float = 0.0
     #: Stop iterating once every lane has converged. The reference keeps
     #: looping after convergence (`ProxQP.jl:157` has its break commented
     #: out); False runs the full budget like the reference, with one

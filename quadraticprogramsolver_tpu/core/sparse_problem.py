@@ -161,6 +161,12 @@ class SparseProxQP:
     dP: jax.Array          # (n,) diag(P)
     dAtA: jax.Array        # (n,) diag(A'A)
     dCtC: jax.Array        # (n,) diag(C'C)
+    #: Optional BCOO storage (storage="bcoo"); see SparseQP.
+    P_bcoo: jax.Array | None = None
+    A_bcoo: jax.Array | None = None
+    At_bcoo: jax.Array | None = None
+    C_bcoo: jax.Array | None = None
+    Ct_bcoo: jax.Array | None = None
 
     @property
     def n(self) -> int:
@@ -189,18 +195,28 @@ class SparseProxQP:
     # -- operator protocol (same contract as ProxQPProblem) --
 
     def matvec_P(self, v: jax.Array) -> jax.Array:
+        if self.P_bcoo is not None:
+            return self.P_bcoo @ v
         return _ell_matvec(self.P_vals, self.P_cols, v)
 
     def matvec_A(self, v: jax.Array) -> jax.Array:
+        if self.A_bcoo is not None:
+            return self.A_bcoo @ v
         return _ell_matvec(self.A_vals, self.A_cols, v)
 
     def matvec_At(self, w: jax.Array) -> jax.Array:
+        if self.At_bcoo is not None:
+            return self.At_bcoo @ w
         return _ell_matvec(self.At_vals, self.At_cols, w)
 
     def matvec_C(self, v: jax.Array) -> jax.Array:
+        if self.C_bcoo is not None:
+            return self.C_bcoo @ v
         return _ell_matvec(self.C_vals, self.C_cols, v)
 
     def matvec_Ct(self, w: jax.Array) -> jax.Array:
+        if self.Ct_bcoo is not None:
+            return self.Ct_bcoo @ w
         return _ell_matvec(self.Ct_vals, self.Ct_cols, w)
 
     def diag_P(self) -> jax.Array:
@@ -285,18 +301,36 @@ def make_sparse_qp(P, q, A, l, u, dtype=np.float32,
         At_vals=jnp.asarray(Atv), At_cols=jnp.asarray(Atc), **common)
 
 
-def make_sparse_proxqp(P, q, A, b, C, d, dtype=np.float32) -> SparseProxQP:
+def make_sparse_proxqp(P, q, A, b, C, d, dtype=np.float32,
+                       storage: str = "ell") -> SparseProxQP:
     """Build a SparseProxQP from scipy sparse matrices (host-side).
 
     Role of the reference's sparse ProxQP constructor (ProxQP.jl:95-115),
     minus the factorization — the matrix-free path needs only operators and
-    Jacobi diagonals.
+    Jacobi diagonals. ``storage``: "ell" (default) or "bcoo".
     """
     import scipy.sparse as sp
 
     P = sp.csr_matrix(P).astype(dtype)
     A = sp.csr_matrix(A).astype(dtype)
     C = sp.csr_matrix(C).astype(dtype)
+    common = dict(
+        q=jnp.asarray(np.asarray(q, dtype)),
+        b=jnp.asarray(np.asarray(b, dtype)),
+        d=jnp.asarray(np.asarray(d, dtype)),
+        dP=jnp.asarray(np.asarray(P.diagonal(), dtype)),
+        dAtA=jnp.asarray(np.asarray(A.multiply(A).sum(axis=0)).ravel().astype(dtype)),
+        dCtC=jnp.asarray(np.asarray(C.multiply(C).sum(axis=0)).ravel().astype(dtype)))
+    if storage == "bcoo":
+        return SparseProxQP(
+            P_vals=None, P_cols=None, A_vals=None, A_cols=None,
+            At_vals=None, At_cols=None, C_vals=None, C_cols=None,
+            Ct_vals=None, Ct_cols=None,
+            P_bcoo=_to_bcoo(P, dtype), A_bcoo=_to_bcoo(A, dtype),
+            At_bcoo=_to_bcoo(A.T.tocsr(), dtype), C_bcoo=_to_bcoo(C, dtype),
+            Ct_bcoo=_to_bcoo(C.T.tocsr(), dtype), **common)
+    if storage != "ell":
+        raise ValueError(f"storage must be 'ell' or 'bcoo'; got {storage!r}")
     Pv, Pc = _to_ell(P, dtype)
     Av, Ac = _to_ell(A, dtype)
     Atv, Atc = _to_ell(A.T.tocsr(), dtype)
@@ -307,10 +341,4 @@ def make_sparse_proxqp(P, q, A, b, C, d, dtype=np.float32) -> SparseProxQP:
         A_vals=jnp.asarray(Av), A_cols=jnp.asarray(Ac),
         At_vals=jnp.asarray(Atv), At_cols=jnp.asarray(Atc),
         C_vals=jnp.asarray(Cv), C_cols=jnp.asarray(Cc),
-        Ct_vals=jnp.asarray(Ctv), Ct_cols=jnp.asarray(Ctc),
-        q=jnp.asarray(np.asarray(q, dtype)),
-        b=jnp.asarray(np.asarray(b, dtype)),
-        d=jnp.asarray(np.asarray(d, dtype)),
-        dP=jnp.asarray(np.asarray(P.diagonal(), dtype)),
-        dAtA=jnp.asarray(np.asarray(A.multiply(A).sum(axis=0)).ravel().astype(dtype)),
-        dCtC=jnp.asarray(np.asarray(C.multiply(C).sum(axis=0)).ravel().astype(dtype)))
+        Ct_vals=jnp.asarray(Ctv), Ct_cols=jnp.asarray(Ctc), **common)

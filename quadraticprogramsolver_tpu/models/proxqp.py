@@ -156,19 +156,22 @@ def _jacobi_inv(prob, rho, sigma):
 
 
 def solve(prob, settings: ProxQPSettings = ProxQPSettings(),
-          init=None) -> ProxQPSolution:
+          init=None, rho0=None) -> ProxQPSolution:
     """Solve a (batched) split-form QP (dense ProxQPProblem or matrix-free
     SparseProxQP). Jittable; `settings` static.
 
     ``init`` optionally provides (x, y, s, z); by default the equality-KKT
-    warm start of the reference is used.
+    warm start of the reference is used. ``rho0`` (scalar or per-lane)
+    warm-starts the penalty — segmented/warm-started solves carry the
+    adapted rho through it.
     """
     # Full-f32 matmul accumulation on TPU (see models/admm.py rationale).
     with jax.default_matmul_precision("highest"):
-        return _solve_impl(prob, settings, init)
+        return _solve_impl(prob, settings, init, rho0)
 
 
-def _solve_impl(prob, settings: ProxQPSettings, init) -> ProxQPSolution:
+def _solve_impl(prob, settings: ProxQPSettings, init,
+                rho0=None) -> ProxQPSolution:
     dt = prob.dtype
     batch = prob.batch_shape
     sigma = jnp.asarray(settings.sigma, dt)
@@ -209,7 +212,8 @@ def _solve_impl(prob, settings: ProxQPSettings, init) -> ProxQPSolution:
             s = vpad(s, tgt[2])
             z = vpad(z, tgt[2])
 
-    rho = jnp.full(batch, settings.rho, dt)
+    rho = (jnp.full(batch, settings.rho, dt) if rho0 is None
+           else jnp.broadcast_to(jnp.asarray(rho0, dt), batch))
     # "factor": cached explicit inverse (dense) or the Jacobi diagonal
     # (matrix-free CG) — both refreshed only on rho updates.
     if prob.is_dense:
@@ -231,7 +235,8 @@ def _solve_impl(prob, settings: ProxQPSettings, init) -> ProxQPSolution:
 
             v = _pcg(lambda w: _apply_M(prob, rho, sigma, w), r, x0, factor,
                      abs_tol=settings.cg_eps,
-                     max_iterations=settings.cg_max_iterations)
+                     max_iterations=settings.cg_max_iterations,
+                     rel_tol=settings.cg_rel_eps)
         return v
 
     fused_ok = (
@@ -377,11 +382,20 @@ def _solve_impl(prob, settings: ProxQPSettings, init) -> ProxQPSolution:
                 rho * jnp.sqrt(jnp.sqrt(jnp.where(trip, ratio, 1.0))),
                 settings.rho_min, settings.rho_max).astype(dt)
             rho_next = jnp.where(trip, rho_new, rho)
-            factor = jax.lax.cond(
-                jnp.any(trip),
-                lambda _: refresh_factor(rho_next),
-                lambda f: f,
-                factor)
+            if prob.is_dense:
+                factor = jax.lax.cond(
+                    jnp.any(trip),
+                    lambda _: refresh_factor(rho_next),
+                    lambda f: f,
+                    factor)
+            else:
+                # Matrix-free: the "factor" is the O(n) Jacobi diagonal —
+                # refresh unconditionally. Beyond being pointless to guard,
+                # the cond is load-bearing to AVOID: a cond-wrapped refactor
+                # inside the loop reproducibly crashes the remote TPU worker
+                # at n~5e4+ (same backend fault as kkt.py
+                # Backend.cheap_refactor documents for the ADMM CG path).
+                factor = refresh_factor(rho_next)
             rho = rho_next
             if aa is not None:
                 # rho changes the AA encoding u = s - z/rho and the map.
@@ -435,3 +449,55 @@ def _solve_impl(prob, settings: ProxQPSettings, init) -> ProxQPSolution:
 
 
 solve_jit = jax.jit(solve, static_argnames=("settings",))
+
+
+def solve_segmented(prob, settings: ProxQPSettings = ProxQPSettings(),
+                    segment_iterations: int = 250,
+                    init=None) -> ProxQPSolution:
+    """Host-driven segmented prox-ALM solve: bounded device programs with
+    the (x, y, s, z, rho) carry between them.
+
+    Prox-ALM analogue of :func:`~.admm.solve_segmented` — a segment boundary
+    is just another check boundary, so the math is unchanged. Uses: (a)
+    backends that limit single-program runtime (the remote-TPU worker faults
+    on multi-minute programs — a 2000-iteration matrix-free solve at n=5e4
+    reproducibly crashes it, while 250-iteration segments run clean), and
+    (b) checkpointable long solves.
+
+    Per-lane iteration counts are exact for lanes finishing in the final
+    segment; earlier finishers re-verify on re-entry (accurate to one check
+    interval per extra segment). Anderson history restarts at segment
+    boundaries (unlike the box-form solver's carry) — acceptable because AA
+    re-fills its window within `anderson_memory` checks.
+
+    ``init`` forwards to :func:`solve` for the FIRST segment only (later
+    segments warm-start from the previous segment's iterates); note
+    ``early_exit=False`` (reference full-budget mode) makes every segment
+    run its full length, so segmentation only bounds program size there.
+    """
+    from dataclasses import replace as dataclasses_replace
+
+    import numpy as np
+
+    seg = -(-segment_iterations // settings.check_interval) * settings.check_interval
+    total = settings.num_checks * settings.check_interval
+    done_iters = 0
+    sol = None
+    rho0 = None
+    while done_iters < total:
+        this_seg = min(seg, total - done_iters)
+        seg_s = dataclasses_replace(settings, max_iterations=this_seg)
+        sol = solve_jit(prob, seg_s, init, rho0)
+        status = np.asarray(sol.info.status)
+        done_iters += this_seg
+        if (status != Status.MAX_ITERATIONS).all():
+            break
+        init = (sol.x, sol.y, sol.s, sol.z)
+        rho0 = sol.info.rho
+    info = ProxQPInfo(
+        converged=sol.info.converged,
+        iterations=jnp.minimum(
+            sol.info.iterations + (done_iters - this_seg), total).astype(jnp.int32),
+        res_prim=sol.info.res_prim, res_dual=sol.info.res_dual,
+        rho=sol.info.rho, status=sol.info.status)
+    return ProxQPSolution(x=sol.x, s=sol.s, y=sol.y, z=sol.z, info=info)

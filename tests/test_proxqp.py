@@ -431,3 +431,49 @@ def test_proxqp_status_solved_and_no_false_positives():
                 prob, dataclasses.replace(SETTINGS, **extra))
             assert int(sol.info.status) == 3, (seed, extra)
             assert bool(sol.info.converged)
+
+
+def test_sparse_proxqp_bcoo_storage_matches_ell():
+    """storage="bcoo" SparseProxQP reproduces the ELL solve."""
+    import scipy.sparse as sp
+
+    from quadraticprogramsolver_tpu.problems.operators import (
+        monotone_smoothing_qp)
+
+    rng = np.random.default_rng(1)
+    n = 300
+    t = np.linspace(0, 3 * np.pi, n)
+    y = np.cos(t) + 0.1 * rng.standard_normal(n)
+    P, q, C, d = monotone_smoothing_qp(y, np.arange(0, n, 20),
+                                       smooth_order=2, lam=5.0)
+    A = np.zeros((1, n))
+    A[0, 0] = 1.0
+    b = np.array([y[0]])
+    st = qps.ProxQPSettings(max_iterations=2000, eps_abs=1e-9, eps_rel=1e-8,
+                            cg_eps=1e-12, cg_max_iterations=400,
+                            kkt_warm_start=False)
+    args = (sp.csr_matrix(P), q, sp.csr_matrix(A), b, sp.csr_matrix(C), d)
+    sol_e = proxqp.solve_jit(qps.make_sparse_proxqp(*args, dtype=np.float64), st)
+    sol_b = proxqp.solve_jit(
+        qps.make_sparse_proxqp(*args, dtype=np.float64, storage="bcoo"), st)
+    assert bool(sol_e.info.converged) and bool(sol_b.info.converged)
+    dev = np.abs(np.asarray(sol_e.x) - np.asarray(sol_b.x)).max()
+    assert dev <= 1e-8, dev
+
+
+def test_proxqp_solve_segmented_matches_monolithic():
+    """Segment boundaries are just check boundaries: same solution, and
+    cumulative iteration accounting within one check interval."""
+    prob = _random_split_problem(n=24, me=4, mi=8, seed=5)
+    st = qps.ProxQPSettings(max_iterations=600, eps_abs=1e-9, eps_rel=1e-8,
+                            check_interval=25, kkt_warm_start=False)
+    sol_m = proxqp.solve_jit(prob, st)
+    sol_s = proxqp.solve_segmented(prob, st, segment_iterations=100)
+    assert bool(sol_m.info.converged.all()) and bool(sol_s.info.converged.all())
+    dev = np.abs(np.asarray(sol_m.x) - np.asarray(sol_s.x)).max()
+    assert dev <= 1e-9, dev
+    it_m = np.asarray(sol_m.info.iterations)
+    it_s = np.asarray(sol_s.info.iterations)
+    # Lanes that finished in an earlier segment re-verify on re-entry:
+    # counts match to one check interval per extra segment.
+    assert (np.abs(it_m - it_s) <= 2 * st.check_interval).all(), (it_m, it_s)
