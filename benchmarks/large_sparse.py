@@ -33,7 +33,10 @@ def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--n", type=int, default=100_000)
     p.add_argument("--eps", type=float, default=1e-4)
-    p.add_argument("--iters", type=int, default=500)
+    # 300: converges at 150 with scaling; a monolithic program that RUNS
+    # much past ~1 minute trips the remote worker's runtime fault (~0.16 s/
+    # iteration at n=1e5 BCOO), so bigger budgets belong in --segmented.
+    p.add_argument("--iters", type=int, default=300)
     p.add_argument("--no-scaling", action="store_true",
                    help="skip the host-side Ruiz pre-scaling")
     p.add_argument("--cg-rel", type=float, default=1e-4,
