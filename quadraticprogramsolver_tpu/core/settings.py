@@ -275,6 +275,10 @@ class ProxQPSettings:
     check_infeasibility: bool = True
     eps_prim_inf: float = 1e-4
     eps_dual_inf: float = 1e-4
+    #: Record per-check residuals/rho into ProxQPInfo.history (device-side
+    #: trace buffers of shape (num_checks, *B)) — the role of the
+    #: reference's commented @printf residual trace (ProxQP.jl:272).
+    record_history: bool = False
 
     @property
     def num_checks(self) -> int:

@@ -637,15 +637,11 @@ def solve_segmented(qp: QP, settings: Settings = Settings(),
     ``scaling`` is forwarded to :func:`solve` (pre-scaled problems; iterates
     cross segment boundaries in the unscaled space).
 
-    ``record_history`` is rejected here: each segment allocates its own
-    per-segment trace buffers, so a returned history would silently cover
-    only the final segment while ``iterations`` is cumulative.
+    ``record_history``: each segment records its own per-segment trace and
+    the segments are stitched into one (num_checks, *B) history (a segment
+    boundary is just another check boundary, so concatenation along the
+    check axis is exact). Checks never run (early all-lane exit) stay inf.
     """
-    if settings.record_history:
-        raise ValueError(
-            "record_history is not supported in solve_segmented (history "
-            "buffers are per-segment); use solve() or capture per-segment "
-            "Solutions yourself")
     seg_settings = settings
     if host_rho_adaptation:
         seg_settings = dataclasses_replace(settings, adaptive_rho=False)
@@ -655,6 +651,7 @@ def solve_segmented(qp: QP, settings: Settings = Settings(),
     sol = None
     rho0 = None
     aa0 = None  # Anderson history, carried across segment boundaries
+    histories = [] if settings.record_history else None
     while done_iters < total:
         # Clamp the last segment so the total never exceeds the budget
         # (at most two compiled segment sizes).
@@ -667,6 +664,8 @@ def solve_segmented(qp: QP, settings: Settings = Settings(),
             sol = solve_jit(qp, seg_s, x0, z0, y0, rho0, scaling)
         status = np.asarray(sol.info.status)
         done_iters += this_seg
+        if histories is not None:
+            histories.append(sol.info.history)
         if (status != Status.MAX_ITERATIONS).all():
             break
         x0, z0, y0, rho0 = sol.x, sol.z, sol.y, sol.info.rho
@@ -692,11 +691,17 @@ def solve_segmented(qp: QP, settings: Settings = Settings(),
                 from .anderson import reset_aa
 
                 aa0 = reset_aa(aa0, jnp.asarray(trip))
+    if histories is not None:
+        from .proxqp import _concat_histories
+
+        history = _concat_histories(histories, settings.num_checks)
+    else:
+        history = sol.info.history
     info = SolveInfo(
         status=sol.info.status,
         iterations=jnp.minimum(
             sol.info.iterations + (done_iters - this_seg), total).astype(jnp.int32),
         res_prim=sol.info.res_prim, res_dual=sol.info.res_dual,
         rho=sol.info.rho, objective=sol.info.objective,
-        history=sol.info.history)
+        history=history)
     return Solution(x=sol.x, z=sol.z, y=sol.y, info=info)

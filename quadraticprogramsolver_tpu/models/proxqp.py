@@ -63,6 +63,10 @@ class ProxQPInfo:
     #: (*B,) int32 — core.state.Status codes: MAX_ITERATIONS(1), SOLVED(3),
     #: PRIMAL_INFEASIBLE(4), DUAL_INFEASIBLE(5).
     status: jax.Array = None
+    #: dict of (num_checks, *B) per-check traces {res_prim, res_dual, rho};
+    #: None unless ProxQPSettings.record_history (the reference's commented
+    #: @printf trace, ProxQP.jl:272, as device buffers).
+    history: object = None
 
 
 @_pytree_dataclass
@@ -254,7 +258,7 @@ def _solve_impl(prob, settings: ProxQPSettings, init,
         # aa/prods are None when their features are off (leafless pytree
         # nodes, so the carry structure is stable either way).
         (x, y, s, z, rho, factor, status, iters_done, res_p, res_d, it,
-         aa, prods_prev) = carry
+         aa, prods_prev, history) = carry
         x_in, s_in_, y_in, z_in = x, s, y, z      # chunk input point
         running = status == Status.RUNNING
         # early_exit freezes every finished lane; reference mode (no early
@@ -371,6 +375,16 @@ def _solve_impl(prob, settings: ProxQPSettings, init,
         res_p = jnp.where(active, res_prim, res_p)
         res_d = jnp.where(active, res_dual, res_d)
 
+        if settings.record_history:
+            # rho recorded is the value the chunk RAN with (pre-adaptation) —
+            # same convention as models/admm.py's trace.
+            idx = it // settings.check_interval - 1
+            history = {
+                "res_prim": history["res_prim"].at[idx].set(res_prim),
+                "res_dual": history["res_dual"].at[idx].set(res_dual),
+                "rho": history["rho"].at[idx].set(rho),
+            }
+
         if settings.adaptive_rho:
             num = res_prim * max_dual
             den = res_dual * max_prim
@@ -404,7 +418,7 @@ def _solve_impl(prob, settings: ProxQPSettings, init,
                 aa = anderson_mod.reset_aa(aa, trip)
 
         return (x, y, s, z, rho, factor, status, iters_done,
-                res_p, res_d, it, aa, prods_prev), None
+                res_p, res_d, it, aa, prods_prev, history), None
 
     status0 = jnp.zeros(batch, jnp.int32)
     if settings.anderson_memory > 0:
@@ -420,11 +434,15 @@ def _solve_impl(prob, settings: ProxQPSettings, init,
         prods0 = {"Px": prob.matvec_P(x), "Aty": prob.matvec_At(y),
                   "Ctz": prob.matvec_Ct(z), "Ax": prob.matvec_A(x),
                   "Cx": prob.matvec_C(x)}
+    history0 = None
+    if settings.record_history:
+        buf = lambda: jnp.full((settings.num_checks,) + batch, jnp.inf, dt)
+        history0 = {"res_prim": buf(), "res_dual": buf(), "rho": buf()}
     carry = (
         x, y, s, z, rho, factor, status0,
         jnp.full(batch, settings.num_checks * settings.check_interval, jnp.int32),
         jnp.full(batch, jnp.inf, dt), jnp.full(batch, jnp.inf, dt),
-        jnp.zeros((), jnp.int32), aa0, prods0)
+        jnp.zeros((), jnp.int32), aa0, prods0, history0)
 
     if settings.early_exit:
         def cond(c):
@@ -436,7 +454,8 @@ def _solve_impl(prob, settings: ProxQPSettings, init,
     else:
         carry, _ = jax.lax.scan(chunk_step, carry, None, length=settings.num_checks)
 
-    x, y, s, z, rho, _, status, iters_done, res_p, res_d, _, _, _ = carry
+    (x, y, s, z, rho, _, status, iters_done, res_p, res_d, _, _, _,
+     history) = carry
     status = jnp.where(status == Status.RUNNING, Status.MAX_ITERATIONS,
                        status).astype(jnp.int32)
     if orig_dims is not None:
@@ -444,7 +463,8 @@ def _solve_impl(prob, settings: ProxQPSettings, init,
         x, y, s, z = x[..., :n0], y[..., :me0], s[..., :mi0], z[..., :mi0]
     info = ProxQPInfo(
         converged=status == Status.SOLVED, iterations=iters_done,
-        res_prim=res_p, res_dual=res_d, rho=rho, status=status)
+        res_prim=res_p, res_dual=res_d, rho=rho, status=status,
+        history=history)
     return ProxQPSolution(x=x, s=s, y=y, z=z, info=info)
 
 
@@ -484,12 +504,15 @@ def solve_segmented(prob, settings: ProxQPSettings = ProxQPSettings(),
     done_iters = 0
     sol = None
     rho0 = None
+    histories = [] if settings.record_history else None
     while done_iters < total:
         this_seg = min(seg, total - done_iters)
         seg_s = dataclasses_replace(settings, max_iterations=this_seg)
         sol = solve_jit(prob, seg_s, init, rho0)
         status = np.asarray(sol.info.status)
         done_iters += this_seg
+        if histories is not None:
+            histories.append(sol.info.history)
         if (status != Status.MAX_ITERATIONS).all():
             break
         init = (sol.x, sol.y, sol.s, sol.z)
@@ -499,5 +522,25 @@ def solve_segmented(prob, settings: ProxQPSettings = ProxQPSettings(),
         iterations=jnp.minimum(
             sol.info.iterations + (done_iters - this_seg), total).astype(jnp.int32),
         res_prim=sol.info.res_prim, res_dual=sol.info.res_dual,
-        rho=sol.info.rho, status=sol.info.status)
+        rho=sol.info.rho, status=sol.info.status,
+        history=_concat_histories(histories, settings.num_checks))
     return ProxQPSolution(x=sol.x, s=sol.s, y=sol.y, z=sol.z, info=info)
+
+
+def _concat_histories(histories, num_checks: int):
+    """Stitch per-segment trace buffers into one (num_checks, *B) trace.
+
+    Segments cover disjoint check windows (a segment boundary is just
+    another check boundary), so concatenation along the check axis IS the
+    full trace; checks never run (early all-lane exit) stay at the inf
+    fill. Shared by both solver families' segmented drivers."""
+    if not histories:
+        return None
+    out = {k: jnp.concatenate([h[k] for h in histories], axis=0)
+           for k in histories[0]}
+    got = out["res_prim"].shape[0]
+    if got < num_checks:
+        pad = [(0, num_checks - got)] + [(0, 0)] * (out["res_prim"].ndim - 1)
+        out = {k: jnp.pad(v, pad, constant_values=jnp.inf)
+               for k, v in out.items()}
+    return out

@@ -1,4 +1,4 @@
-"""Pallas TPU kernel: fully-fused factor path for the sigma-free direct backend.
+"""Pallas TPU kernels: fused factor path for the sigma-free direct backend.
 
 The round-2 factor path (the dominant cost of the headline solve — 233 of
 357 ms at B=3072, n=512) runs as a pipeline of XLA ops and per-level Pallas
@@ -6,32 +6,39 @@ pivot kernels:
 
     M = P + sigma*I + A' diag(rho) A          (XLA einsum, HBM round trip)
     for each 128-block level j:               (ops/spd_kernels.gj_solve_sweep)
-        Dinv_j  = pivot sweep kernel          (Pallas, VPU — reads/writes HBM)
-        W, Y updates                          (XLA matmuls — 2 more HBM trips)
+        Dinv_j  = pivot sweep kernel          (Pallas, VPU)
+        W, Y updates                          (4 XLA einsums + padded selects,
+                                               2 full HBM round trips/level)
 
-Every level round-trips the full working set (shrinking W plus the RHS block
-Y) through HBM — ~10 MB per lane against an information floor of ~2.5 MB
-(read P, A; write [G g]) — and each stage is a separate dispatch.
+Probed on the chip (benchmarks/fused_factor_probe.py, B=3072, n=512, m=256):
+build 51 ms, the rest ~200 ms, of which the pivot kernels are ~90 ms
+(VPU-bound) and the XLA level updates ~110 ms against a ~26 ms MXU floor —
+the overhead is intermediate materialization and per-level HBM round trips.
 
-This kernel runs the ENTIRE factor per lane group inside VMEM: DMA P and
-R = [A' q] in once, build M with one MXU gram product, eliminate the four
-pivot levels with inline unrolled scalar sweeps (VPU) and rank-128 MXU
-updates, and write out X = M^{-1}[A' q] = [G g] only. The per-lane scalar
-sweep cost is DATA-bound, not issue-bound (measured ~57 ns per lane-step in
-the standalone kernel = ~64 VPU cycles for the (128,128) rank-1 pass), so
-stacking only ``lanes``=2 lanes per program costs the same per lane as the
-standalone kernel's 8 — the VMEM budget, not sweep amortization, sets the
-lane count. Interleaving the two lanes' level stages (sweep of lane 1
-emitted between the MXU updates of lane 0) gives Mosaic's scheduler
-independent VPU work to overlap with the matmuls.
+Design here (what actually shipped, after measuring alternatives):
+
+* **Augmented slab**: the working state is ONE buffer S_j = [W_trailing | Y]
+  (n, width_j + k_pad) per lane — the GJ update for the trailing pivot
+  columns and for the RHS block is the same formula, so each level is a
+  single fused kernel: S' = S[:, NB:] - C @ (Dinv @ S[pivot rows, NB:]),
+  with the pivot rows replaced by Dinv @ S[pivot rows, NB:]. One read + one
+  write of the (shrinking) slab per level — no intermediates.
+* **Level-0 build kernel**: seeds S_0 = [M | R] straight from P and
+  R = [A' q], computing the gram A' diag(rho) A on the MXU in VMEM (the
+  separate XLA einsum cost 51 ms, mostly the extra M round trip).
+* **Pivot inverses stay in the standalone multi-lane sweep kernel**
+  (ops/spd_kernels.pallas_spd_inverse_unrolled): its per-lane-step cost
+  depends critically on lane stacking (measured 57 ns/lane-step at lanes=8
+  vs 364 ns at lanes=1), so it must run at 8+ lanes — which rules out
+  fusing it into the slab kernel (a full per-lane fusion was built and
+  measured: 573 ms at lanes=1; lanes>=2 exceeds VMEM at n=512).
 
 Numerics are identical to the unfused path: the same unpivoted symmetric
-Gauss-Jordan sweep (fine for SPD), f32 with all dots at HIGHEST.
+block Gauss-Jordan (fine for SPD), f32 with all dots at HIGHEST.
 
-Replaces (when enabled): cholesky_init's build + spd_solve for the
-sigma-free {G, g} cache (models/kkt.py) — the TPU re-design of the
-reference's cached-refactorization contract
-(/root/reference/LinearSystemSolvers.jl:30-44).
+Replaces (on TPU): cholesky_init's build + spd_solve for the sigma-free
+{G, g} cache (models/kkt.py) — the TPU re-design of the reference's cached
+refactorization contract (/root/reference/LinearSystemSolvers.jl:30-44).
 """
 
 from __future__ import annotations
@@ -53,114 +60,53 @@ def _dot(a, b, dims=((1,), (0,))):
         precision=_HI)
 
 
-def _sweep_block_inplace(W_ref, r0: int, nlanes: int):
-    """Unrolled symmetric Gauss-Jordan sweep of ``nlanes`` stacked (NB, NB)
-    SPD blocks held in rows [r0, r0 + nlanes*NB) of a VMEM scratch.
-
-    Same formulation as ops/spd_kernels._pivot_sweep_unrolled_kernel (the
-    shipped "ref" variant): all slices static, per-step cost dominated by the
-    (NB, NB) rank-1 read-modify-write pass. On exit the rows hold the
-    NEGATED inverses (sweep convention); callers read -block.
-    """
+def _build_slab_kernel(P_ref, R_ref, rho_ref, S_ref, *, n, m, sigma):
+    """S_0 = [P + sigma*I + A' diag(rho) A | R] per lane (grid over lanes)."""
     f32 = jnp.float32
-    lane_idx = jax.lax.broadcasted_iota(jnp.int32, (1, NB), 1)
-    for j in range(NB):
-        e_j = (lane_idx == j).astype(f32)
-        Cd = W_ref[r0:r0 + nlanes * NB, j:j + 1]          # (nlanes*NB, 1)
-        for g in range(nlanes):
-            base = r0 + g * NB
-            r = W_ref[base + j:base + j + 1, :]           # (1, NB)
-            dinv = 1.0 / r[0, j]
-            blk = slice(base, base + NB)
-            W_ref[blk, :] = W_ref[blk, :] - (
-                Cd[g * NB:(g + 1) * NB] * dinv) * (r - e_j)
-            W_ref[base + j:base + j + 1, :] = r * dinv
-            W_ref[base + j:base + j + 1, j:j + 1] = jnp.full((1, 1), -dinv, f32)
-
-
-def _fused_factor_kernel(P_ref, R_ref, rho_ref, X_ref, W_ref, Y_ref, D_ref,
-                         *, n: int, m: int, k_pad: int, sigma: float,
-                         lanes: int, interleave: bool):
-    """Per grid step: ``lanes`` lanes' full factor solves in VMEM.
-
-    Scratch layout: W_ref (lanes*n, n) — lane i's normal matrix at rows
-    [i*n, (i+1)*n); Y_ref (lanes*n, k_pad) — the RHS block being solved;
-    D_ref (lanes*NB, NB) — the current level's pivot blocks.
-    """
-    f32 = jnp.float32
-    L = lanes
     eye = (jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
            == jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)).astype(f32)
+    At = R_ref[0, :, :m]                            # (n, m)
+    gram = _dot(At * rho_ref[0], At, ((1,), (1,)))  # A' diag(rho) A
+    S_ref[0, :, :n] = P_ref[0] + sigma * eye + gram
+    S_ref[0, :, n:] = R_ref[0]
 
-    # Build M = P + sigma*I + A' diag(rho) A straight into scratch, and seed
-    # the RHS buffer. At = R[:, :m] (the first m columns of the packed RHS).
-    for i in range(L):
-        At = R_ref[i, :, :m]                       # (n, m)
-        Atr = At * rho_ref[i]                      # rho_ref[i]: (1, m)
-        W_ref[i * n:(i + 1) * n, :] = (
-            P_ref[i] + sigma * eye + _dot(Atr, At, ((1,), (1,))))
-        Y_ref[i * n:(i + 1) * n, :] = R_ref[i]
 
-    def level_updates(i, j):
-        """Lane i's MXU updates for level j (pivot inverse already in D_ref)."""
-        Dinv = -D_ref[i * NB:(i + 1) * NB, :]
-        s0, s1 = j * NB, (j + 1) * NB
-        base = i * n
-        C = W_ref[base:base + n, s0:s1]            # (n, NB)
-        Yb = Y_ref[base + s0:base + s1, :]         # (NB, k_pad)
-        DinvY = _dot(Dinv, Yb)
-        Y_ref[base:base + n, :] = Y_ref[base:base + n, :] - _dot(C, DinvY)
-        Y_ref[base + s0:base + s1, :] = DinvY
-        if s1 < n:
-            T = W_ref[base + s0:base + s1, s1:]    # (NB, n - s1)
-            DinvT = _dot(Dinv, T)
-            W_ref[base:base + n, s1:] = (
-                W_ref[base:base + n, s1:] - _dot(C, DinvT))
-            W_ref[base + s0:base + s1, s1:] = DinvT
+def _slab_level_kernel(S_ref, Dinv_ref, out_ref, *, n, j):
+    """One GJ level on the augmented slab (grid over lanes).
 
-    def load_pivot(i, j):
-        s0, s1 = j * NB, (j + 1) * NB
-        D_ref[i * NB:(i + 1) * NB, :] = W_ref[i * n + s0:i * n + s1, s0:s1]
-
-    nlev = n // NB
-    if interleave and L > 1:
-        # Software-pipelined emission: lane i's VPU sweep for level j sits
-        # between lane i-1's sweep and lane i-1's MXU updates in program
-        # order, giving the scheduler independent VPU/MXU work to overlap.
-        for j in range(nlev):
-            for i in range(L):
-                load_pivot(i, j)
-                _sweep_block_inplace(D_ref, i * NB, 1)
-            for i in range(L):
-                level_updates(i, j)
-    else:
-        for j in range(nlev):
-            for i in range(L):
-                load_pivot(i, j)
-            _sweep_block_inplace(D_ref, 0, L)
-            for i in range(L):
-                level_updates(i, j)
-
-    for i in range(L):
-        X_ref[i] = Y_ref[i * n:(i + 1) * n, :]
+    Slab columns [0, NB) are the current pivot columns; the pivot rows are
+    [j*NB, (j+1)*NB). Output drops the pivot columns (width shrinks by NB).
+    """
+    S = S_ref[0]                                   # (n, width)
+    Dinv = Dinv_ref[0]                             # (NB, NB)
+    C = S[:, :NB]                                  # (n, NB)
+    T = S[j * NB:(j + 1) * NB, NB:]                # (NB, width - NB)
+    DinvT = _dot(Dinv, T)
+    upd = S[:, NB:] - _dot(C, DinvT)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)
+    in_j = (rows >= j * NB) & (rows < (j + 1) * NB)
+    pad = [(j * NB, n - (j + 1) * NB), (0, 0)]
+    # Pivot rows take the normalized rows exactly (the subtraction there
+    # cancels only in exact arithmetic — same discipline as gj_solve_sweep).
+    out_ref[0] = jnp.where(in_j, jnp.pad(DinvT, pad), upd)
 
 
 @functools.partial(
-    jax.jit,
-    static_argnames=("sigma", "lanes", "interleave", "interpret"))
-def fused_factor_solve(P, R, rho_row, *, sigma: float, lanes: int = 2,
-                       interleave: bool = True, interpret: bool = False):
-    """X = (P + sigma*I + A' diag(rho_row) A)^{-1} R, fully fused per lane.
+    jax.jit, static_argnames=("sigma", "pivot_lanes", "interpret"))
+def fused_factor_solve(P, R, rho_row, *, sigma: float, pivot_lanes: int = 8,
+                       interpret: bool = False):
+    """X = (P + sigma*I + A' diag(rho_row) A)^{-1} R via fused slab levels.
 
     Args:
       P: (B, n, n) f32, symmetric (positive definite with the sigma shift).
-      R: (B, n, k_pad) f32 — packed RHS whose first m columns are A'
-         (they double as the gram operand); k_pad a multiple of 128.
-      rho_row: (B, m) per-constraint penalties; m = R's A' column count,
-         inferred as k_pad - 128 (the last 128 columns carry q + padding).
+      R: (B, n, k_pad) f32 — packed RHS whose first m columns are A' (they
+         double as the gram operand; see :func:`pack_rhs`).
+      rho_row: (B, m) per-constraint penalties.
     Returns:
       X: (B, n, k_pad) f32 with M X = R.
     """
+    from .spd_kernels import pallas_spd_inverse_unrolled
+
     B, n = P.shape[0], P.shape[-1]
     k_pad = R.shape[-1]
     m = rho_row.shape[-1]
@@ -168,40 +114,38 @@ def fused_factor_solve(P, R, rho_row, *, sigma: float, lanes: int = 2,
         raise ValueError(f"n, k_pad, m must be multiples of {NB}; "
                          f"got {(n, k_pad, m)}")
     f32 = jnp.float32
-    L = lanes
-    while B % L:
-        L //= 2
-    kernel = functools.partial(
-        _fused_factor_kernel, n=n, m=m, k_pad=k_pad, sigma=sigma, lanes=L,
-        interleave=interleave)
-    out = pl.pallas_call(
-        kernel,
-        grid=(B // L,),
-        in_specs=[
-            pl.BlockSpec((L, n, n), lambda b: (b, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((L, n, k_pad), lambda b: (b, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((L, 1, m), lambda b: (b, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((L, n, k_pad), lambda b: (b, 0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, n, k_pad), f32),
-        scratch_shapes=[
-            pltpu.VMEM((L * n, n), f32),
-            pltpu.VMEM((L * n, k_pad), f32),
-            pltpu.VMEM((L * NB, NB), f32),
-        ],
+
+    lane_mat = lambda r, c: pl.BlockSpec((1, r, c), lambda b: (b, 0, 0),
+                                         memory_space=pltpu.VMEM)
+
+    S = pl.pallas_call(
+        functools.partial(_build_slab_kernel, n=n, m=m, sigma=sigma),
+        grid=(B,),
+        in_specs=[lane_mat(n, n), lane_mat(n, k_pad), lane_mat(1, m)],
+        out_specs=lane_mat(n, n + k_pad),
+        out_shape=jax.ShapeDtypeStruct((B, n, n + k_pad), f32),
         interpret=interpret,
     )(P.astype(f32), R.astype(f32), rho_row.astype(f32)[:, None, :])
-    return out
+
+    for j in range(n // NB):
+        width = S.shape[-1]
+        Dinv = pallas_spd_inverse_unrolled(
+            S[:, j * NB:(j + 1) * NB, :NB], lanes=pivot_lanes,
+            interpret=interpret)
+        S = pl.pallas_call(
+            functools.partial(_slab_level_kernel, n=n, j=j),
+            grid=(B,),
+            in_specs=[lane_mat(n, width), lane_mat(NB, NB)],
+            out_specs=lane_mat(n, width - NB),
+            out_shape=jax.ShapeDtypeStruct((B, n, width - NB), f32),
+            interpret=interpret,
+        )(S, Dinv)
+    return S
 
 
 def pack_rhs(A, q):
     """R = [A' | q | 0-pad] (B, n, m + 128) for :func:`fused_factor_solve`."""
     At = jnp.swapaxes(A, -1, -2)
-    B, n, m = At.shape
     cols = jnp.zeros(At.shape[:-1] + (NB,), At.dtype)
     cols = cols.at[..., 0].set(q)
     return jnp.concatenate([At, cols], axis=-1)

@@ -83,7 +83,19 @@ def solve_block_split(qp: QP, settings: Settings = Settings(),
     batched = jax.tree.map(lambda x: x[None], qp)
     sol = _solve_impl(batched, settings, mesh, fleet_axis=None,
                       block_axis=mesh.axis_names[0])
-    return jax.tree.map(lambda x: x[0], sol)
+    # History leaves are (num_checks, B=1) — batch on axis 1, unlike every
+    # other Solution leaf; drop their batch axis separately.
+    history = sol.info.history
+    if history is not None:
+        history = {k: v[:, 0] for k, v in history.items()}
+    sol = Solution(
+        x=sol.x[0], z=sol.z[0], y=sol.y[0],
+        info=SolveInfo(
+            status=sol.info.status[0], iterations=sol.info.iterations[0],
+            res_prim=sol.info.res_prim[0], res_dual=sol.info.res_dual[0],
+            rho=sol.info.rho[0], objective=sol.info.objective[0],
+            history=history))
+    return sol
 
 
 def solve_fleet_block_split(qp: QP, settings: Settings = Settings(),
@@ -106,11 +118,6 @@ def solve_fleet_block_split(qp: QP, settings: Settings = Settings(),
 
 def _solve_impl(qp: QP, settings: Settings, mesh: Mesh,
                 fleet_axis: str | None, block_axis: str) -> Solution:
-    if settings.record_history:
-        raise ValueError(
-            "record_history is not supported in block-split mode (the "
-            "shard_map loop carries no trace buffers); use the single-device "
-            "solver for residual traces")
     n_shards = mesh.shape[block_axis]
     m_orig = qp.m
     qp = pad_rows_for_mesh(qp, n_shards)
@@ -119,7 +126,11 @@ def _solve_impl(qp: QP, settings: Settings, mesh: Mesh,
     rep = P(fa)
     row = P(fa, block_axis)
     in_specs = (P(fa), rep, P(fa, block_axis, None), row, row)
-    out_specs = (rep, row, row, rep, rep, rep, rep, rep)
+    # Trace buffers (num_checks, B): batch on axis 1, replicated over blocks
+    # (their entries are post-reduction residuals every shard agrees on).
+    trace = P(None, fa)
+    out_specs = (rep, row, row, rep, rep, rep, rep, rep) + (
+        (trace, trace, trace) if settings.record_history else ())
 
     @jax.jit
     @partial(jax.shard_map, mesh=mesh, in_specs=in_specs, out_specs=out_specs)
@@ -285,6 +296,11 @@ def _solve_impl(qp: QP, settings: Settings, mesh: Mesh,
                 "pw": row_leaf((Bb, m_loc)), "fw": row_leaf((Bb, m_loc)),
                 "count": mark(jnp.zeros((Bb,), jnp.int32), fleet_axes),
             }
+        hist0 = None
+        if settings.record_history:
+            tbuf = lambda: mark(
+                jnp.full((settings.num_checks, Bb), jnp.inf, dt), fleet_axes)
+            hist0 = {"res_prim": tbuf(), "res_dual": tbuf(), "rho": tbuf()}
         state0 = (
             mark(jnp.zeros((Bb, n_dim), dt), fleet_axes), z0, y0,
             rho0, rho0, factor(rho0),
@@ -294,6 +310,7 @@ def _solve_impl(qp: QP, settings: Settings, mesh: Mesh,
             mark(jnp.full((Bb,), jnp.inf, dt), fleet_axes),
             mark(jnp.full((Bb,), jnp.inf, dt), fleet_axes),
             aa0,   # None when anderson_memory == 0 (leafless pytree node)
+            hist0,  # None unless record_history (leafless pytree node)
         )
         max_total = settings.num_checks * settings.check_interval
 
@@ -301,7 +318,8 @@ def _solve_impl(qp: QP, settings: Settings, mesh: Mesh,
             return (st[8] < max_total) & jnp.any(st[6] == Status.RUNNING)
 
         def body(st):
-            x, z, y, rho, rho_cand, M_inv, status, iters, it, rp, rd, aa = st
+            (x, z, y, rho, rho_cand, M_inv, status, iters, it, rp, rd, aa,
+             hist) = st
             if settings.adaptive_rho:
                 f = settings.rho_factor
                 trip = ((status == Status.RUNNING)
@@ -495,17 +513,30 @@ def _solve_impl(qp: QP, settings: Settings, mesh: Mesh,
             iters = jnp.where(newly, it, iters)
             rp = jnp.where(act, res_prim, rp)
             rd = jnp.where(act, res_dual, rd)
-            return (x, z, y, rho, rho_cand, M_inv, status, iters, it, rp, rd, aa)
+            if settings.record_history:
+                # rho recorded is the chunk's (post-adoption) value; the
+                # residuals are the globally-reduced ones every shard holds.
+                idx = it // settings.check_interval - 1
+                hist = {
+                    "res_prim": hist["res_prim"].at[idx].set(res_prim),
+                    "res_dual": hist["res_dual"].at[idx].set(res_dual),
+                    "rho": hist["rho"].at[idx].set(rho),
+                }
+            return (x, z, y, rho, rho_cand, M_inv, status, iters, it, rp, rd,
+                    aa, hist)
 
         final = jax.lax.while_loop(cond, body, state0)
-        (x, z, y, rho, _, _, status, iters, it, rp, rd, _) = final
+        (x, z, y, rho, _, _, status, iters, it, rp, rd, _, hist) = final
         exhausted = status == Status.RUNNING
         status = jnp.where(exhausted, Status.MAX_ITERATIONS, status).astype(jnp.int32)
         iters = jnp.where(exhausted, it, iters)
 
         if settings.polish_iterations > 0:
             x, y = polish_block(x, z, y)
-        return x, z, y, status, iters, rp, rd, rho
+        out = (x, z, y, status, iters, rp, rd, rho)
+        if settings.record_history:
+            out += (hist["res_prim"], hist["res_dual"], hist["rho"])
+        return out
 
     sharding = lambda spec: NamedSharding(mesh, spec)
     Pm = jax.device_put(qp.P, sharding(P(fa, None, None)))
@@ -517,12 +548,16 @@ def _solve_impl(qp: QP, settings: Settings, mesh: Mesh,
     # Full-f32 matmul accumulation on TPU (see models/admm.py rationale);
     # the context is trace-time, so wrapping the first (tracing) call suffices.
     with jax.default_matmul_precision("highest"):
-        x, z, y, status, iters, rp, rd, rho = run(Pm, q, A, l, u)
+        out = run(Pm, q, A, l, u)
+    x, z, y, status, iters, rp, rd, rho = out[:8]
+    history = None
+    if settings.record_history:
+        history = {"res_prim": out[8], "res_dual": out[9], "rho": out[10]}
     # Return duals/splits at the caller's constraint count, not the
     # mesh-padded one (padded rows carry z = y = 0 and never bind).
     z = z[..., :m_orig]
     y = y[..., :m_orig]
     info = SolveInfo(
         status=status, iterations=iters, res_prim=rp, res_dual=rd, rho=rho,
-        objective=qp.objective(x))
+        objective=qp.objective(x), history=history)
     return Solution(x=x, z=z, y=y, info=info)
