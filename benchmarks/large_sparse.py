@@ -46,12 +46,31 @@ def main(argv=None):
                    help="bounded device segments + host-side rho adaptation "
                         "(the pre-backend-fix workaround; also the "
                         "checkpointable path)")
+    p.add_argument("--mesh", type=int, default=0, metavar="D",
+                   help="row-shard the problem over a D-device mesh "
+                        "(parallel/sparse_mesh.py); on a 1-chip host run "
+                        "under XLA_FLAGS=--xla_force_host_platform_device_"
+                        "count=D JAX_PLATFORMS=cpu to exercise the sharding")
     args = p.parse_args(argv)
 
     import jax
 
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    if args.mesh and os.environ.get("JAX_PLATFORMS", "") == "cpu":
+        # Caller asked for the CPU-mesh exercise. jax is pre-imported with
+        # the axon platform baked into the loaded config, so the env vars
+        # alone don't take — force the switch BEFORE any backend initializes
+        # (the device-count flag is read at CPU-backend init).
+        os.environ["XLA_FLAGS"] = (
+            os.environ.get("XLA_FLAGS", "")
+            + f" --xla_force_host_platform_device_count={args.mesh}")
+        jax.config.update("jax_platforms", "cpu")
+        from jax._src import xla_bridge as xb
+
+        xb._backend_factories.pop("axon", None)
+        print(f"(JAX_PLATFORMS=cpu: running on {args.mesh} virtual CPU "
+              f"devices)")
 
     import quadraticprogramsolver_tpu as qps
     from quadraticprogramsolver_tpu.problems.generator import generate_large_sparse_qp
@@ -86,7 +105,22 @@ def main(argv=None):
                       cg_eps=1e-6, cg_max_iterations=200,
                       cg_rel_eps=args.cg_rel)
 
-    if args.segmented:
+    if args.mesh:
+        from quadraticprogramsolver_tpu.parallel.sparse_mesh import (
+            shard_sparse_qp, solve_sparse_mesh)
+
+        if args.storage != "ell":
+            print("(--mesh uses the ELL row-shard layout; --storage ignored)")
+        src = ((Ps, qs, As, ls, us) if scaling is not None
+               else (data.P, data.q, data.A, data.l, data.u))
+        t0 = time.perf_counter()
+        ssq = shard_sparse_qp(*src, args.mesh, dtype=np.float32,
+                              scaling=scaling)
+        print(f"sharded over {args.mesh} devices in "
+              f"{time.perf_counter()-t0:.1f}s")
+        run = lambda: solve_sparse_mesh(ssq, st, m_orig=data.m,
+                                        scaling=scaling)
+    elif args.segmented:
         from quadraticprogramsolver_tpu.models.admm import solve_segmented
 
         # Bounded device programs with the adaptive-rho update on the HOST

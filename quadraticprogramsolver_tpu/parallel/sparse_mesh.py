@@ -1,0 +1,402 @@
+"""One huge sparse QP row-sharded over a device mesh (matrix-free PCG path).
+
+The reference routes large/sparse problems to PCG instead of factorizing
+(`/root/reference/SolveQuadraticProgram.m:190-204`); SURVEY §5's scale-axes
+row mandates the distributed version: "matrix-free PCG so A never
+materializes per-chip". This module is that axis — the sparse sibling of
+parallel/consensus.py's dense block-split:
+
+  * A's rows are sharded: shard d holds the ELL row block A_d (m_loc, kA)
+    with global column indices into the replicated x.
+  * A' lives as per-shard COLUMN partials: shard d stores (A_d)' as its own
+    row-ELL (n, kAt_d) with columns indexing the LOCAL w_d — so
+    A'w = psum_d((A_d)' w_d) is one gather-matvec plus one psum.
+  * P is sharded the same way (P symmetric: column block d = row block d
+    transposed), stored as per-shard column partials with global indices, so
+    P v = psum_d((P_d)' v) — every n-space result flows through psum, which
+    keeps it vma-invariant (replicated) across shards.
+  * Row-space vectors (z, y, l, u) are sharded; n-space vectors replicated.
+
+The inner Jacobi-PCG runs on replicated (n,) vectors — all its inner
+products are computed identically on every shard (the only cross-shard data
+flows through deterministic psum/all_gather), so the distributed iterates
+are bitwise-reproducible and match the single-device SparseQP solve.
+Residual checks pmax/psum their row-space pieces exactly like consensus.py;
+adaptive rho, Ruiz-scaled termination (host pre-scaling), and the OSQP §3.4
+infeasibility certificates all run distributed. Polish and Anderson
+acceleration are not wired into this path yet (single-device features).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..core.pytree import pytree_dataclass as _pytree_dataclass
+from ..core.settings import RHO_MAX, RHO_MIN, Settings
+from ..core.state import SolveInfo, Solution, Status
+from ..models.kkt import _pcg
+from ..ops.linalg import inf_norm
+
+SPARSE_AXIS = "rows"
+
+
+def _ell(vals, cols, v):
+    return jnp.sum(vals * v[cols], axis=-1)
+
+
+@_pytree_dataclass
+@dataclasses.dataclass(frozen=True)
+class ShardedSparseQP:
+    """Host-prepared shards, stacked on a leading (n_shards,) axis."""
+
+    A_vals: jax.Array    # (D, m_loc, kA)   row block of A, global cols
+    A_cols: jax.Array
+    Atp_vals: jax.Array  # (D, n, kAt)      (A_d)' partial, LOCAL cols
+    Atp_cols: jax.Array
+    Ptp_vals: jax.Array  # (D, n, kP)       (P rows d)' partial, GLOBAL cols
+    Ptp_cols: jax.Array
+    q: jax.Array         # (n,) replicated
+    l: jax.Array         # (D, m_loc)
+    u: jax.Array         # (D, m_loc)
+    dP: jax.Array        # (n,) replicated
+    dAtA: jax.Array      # (n,) replicated
+    e_scale: jax.Array   # (D, m_loc) Ruiz row scales (ones when unscaled)
+
+    @property
+    def n(self) -> int:
+        return self.q.shape[0]
+
+    @property
+    def n_shards(self) -> int:
+        return self.A_vals.shape[0]
+
+    @property
+    def dtype(self):
+        return self.q.dtype
+
+
+def shard_sparse_qp(P, q, A, l, u, n_shards: int, dtype=np.float32,
+                    scaling=None) -> ShardedSparseQP:
+    """Partition scipy-sparse (P, q, A, l, u) into row shards (host-side).
+
+    Constraint rows pad to a multiple of ``n_shards`` with inert rows
+    (all-zero, l = -inf, u = +inf); P's rows pad with zeros (the all_gather
+    result is sliced back to n). ``scaling``: an optional
+    :class:`~..models.scaling.ScalingData` from ``equilibrate_sparse_host``
+    whose row scales ``e`` are sharded alongside (pass the SCALED matrices
+    here, exactly like the single-device pre-scaled path).
+    """
+    import scipy.sparse as sp
+
+    from ..core.sparse_problem import _to_ell
+
+    P = sp.csr_matrix(P).astype(dtype)
+    A = sp.csr_matrix(A).astype(dtype)
+    m, n = A.shape
+    D = n_shards
+    m_loc = -(-m // D) * D // D
+    n_loc = -(-n // D) * D // D
+
+    l = np.asarray(l, np.float64)
+    u = np.asarray(u, np.float64)
+    l_pad = np.full(D * m_loc, -np.inf)
+    u_pad = np.full(D * m_loc, np.inf)
+    l_pad[:m] = l
+    u_pad[:m] = u
+    e = np.ones(D * m_loc, dtype)
+    if scaling is not None:
+        e[:m] = np.asarray(scaling.e, dtype)
+
+    A_pad = sp.vstack(
+        [A, sp.csr_matrix((D * m_loc - m, n), dtype=dtype)], format="csr")
+    P_pad = sp.vstack(
+        [P, sp.csr_matrix((D * n_loc - n, n), dtype=dtype)], format="csr")
+
+    Av, Ac, Atv, Atc, Pv, Pc = [], [], [], [], [], []
+    for d in range(D):
+        Ad = A_pad[d * m_loc:(d + 1) * m_loc]
+        v, c = _to_ell(Ad, dtype)
+        Av.append(v)
+        Ac.append(c)
+        v, c = _to_ell(Ad.T.tocsr(), dtype)   # (n, kAt_d), cols in [0, m_loc)
+        Atv.append(v)
+        Atc.append(c)
+        # (P rows d)' = P's column block d (n, n_loc), applied to the FULL
+        # replicated v: shift its local column indices to global.
+        v, c = _to_ell(P_pad[d * n_loc:(d + 1) * n_loc].T.tocsr(), dtype)
+        c = np.where(v != 0, c + d * n_loc, 0).astype(np.int32)
+        Pv.append(v)
+        Pc.append(c)
+
+    def stack_pad(blocks, fill):
+        k = max(b.shape[-1] for b in blocks)
+        out = [np.pad(b, [(0, 0), (0, k - b.shape[-1])],
+                      constant_values=fill) for b in blocks]
+        return jnp.asarray(np.stack(out))
+
+    dAtA = np.asarray(A.multiply(A).sum(axis=0)).ravel().astype(dtype)
+    return ShardedSparseQP(
+        A_vals=stack_pad(Av, 0), A_cols=stack_pad(Ac, 0),
+        Atp_vals=stack_pad(Atv, 0), Atp_cols=stack_pad(Atc, 0),
+        Ptp_vals=stack_pad(Pv, 0), Ptp_cols=stack_pad(Pc, 0),
+        q=jnp.asarray(np.asarray(q, dtype)),
+        l=jnp.asarray(l_pad.astype(dtype).reshape(D, m_loc)),
+        u=jnp.asarray(u_pad.astype(dtype).reshape(D, m_loc)),
+        dP=jnp.asarray(np.asarray(P.diagonal(), dtype)),
+        dAtA=jnp.asarray(dAtA),
+        e_scale=jnp.asarray(e.reshape(D, m_loc)),
+    )
+
+
+def solve_sparse_mesh(sq: ShardedSparseQP, settings: Settings = Settings(),
+                      mesh: Mesh | None = None, m_orig: int | None = None,
+                      scaling=None) -> Solution:
+    """Solve the row-sharded sparse QP. Same math as models/admm.py's CG
+    path; iterates match the single-device SparseQP solve check-for-check.
+
+    ``scaling``: the ScalingData whose matrices ``sq`` was built from
+    (termination then runs on UNSCALED residuals and the returned solution
+    is unscaled, exactly like solve(scaling=...)).
+    """
+    if mesh is None:
+        mesh = Mesh(np.asarray(jax.devices()[:sq.n_shards]), (SPARSE_AXIS,))
+    ax = mesh.axis_names[0]
+    if mesh.shape[ax] != sq.n_shards:
+        raise ValueError(f"mesh has {mesh.shape[ax]} devices, data has "
+                         f"{sq.n_shards} shards")
+    if settings.rho_eq_scale != 1.0:
+        raise NotImplementedError(
+            "vector-rho is not wired into the mesh-sparse path yet")
+    n = sq.n
+    D = sq.n_shards
+    m_pad = sq.l.shape[-1] * D
+    m_out = m_pad if m_orig is None else m_orig
+    dt = sq.dtype
+
+    if scaling is not None:
+        d_scale = jnp.asarray(scaling.d, dt)
+        c_scale = jnp.asarray(scaling.c, dt)
+    else:
+        d_scale = jnp.ones((n,), dt)
+        c_scale = jnp.ones((), dt)
+
+    shard = P(ax)
+    in_specs = (shard, P(None), P(None), P(None))
+    out_specs = (P(None), shard, shard) + (P(),) * 6
+
+    @jax.jit
+    @partial(jax.shard_map, mesh=mesh, in_specs=in_specs,
+             out_specs=out_specs)
+    def run(blk, q, dP, dAtA):
+        (A_vals, A_cols, Atp_vals, Atp_cols, Ptp_vals, Ptp_cols, l, u,
+         e_scale) = (x[0] for x in blk)
+        sigma = jnp.asarray(settings.sigma_for(dt), dt)
+        alpha = jnp.asarray(settings.alpha, dt)
+        alpha1 = jnp.asarray(1.0 - settings.alpha, dt)
+
+        psum = lambda v: jax.lax.psum(v, ax)
+        pmax = lambda v: jax.lax.pmax(v, ax)
+
+        def matvec_A(v):
+            return _ell(A_vals, A_cols, v)                 # (m_loc,) local
+
+        def matvec_At(w):
+            return psum(_ell(Atp_vals, Atp_cols, w))       # (n,) replicated
+
+        def matvec_P(v):
+            return psum(_ell(Ptp_vals, Ptp_cols, v))       # (n,) replicated
+
+        def apply_M(rho):
+            return lambda v: (matvec_P(v) + sigma * v
+                              + matvec_At(rho * matvec_A(v)))
+
+        def diag_inv(rho):
+            dvec = dP + sigma + rho * dAtA
+            return jnp.where(dvec > 0, 1.0 / dvec, 1.0)
+
+        # Unscaled-residual maps (identity when unscaled) — row-space vectors
+        # are local shards, so e_scale is the local slice.
+        e_inv = 1.0 / e_scale
+        dc_inv = 1.0 / (d_scale * c_scale)
+        unsc_p = lambda v: v * e_inv
+        unsc_d = lambda v: v * dc_inv
+        unsc_x = lambda v: v * d_scale
+
+        # vma discipline: row-sharded carries (z, y, Ax cache) are pre-marked
+        # varying over the mesh axis; every n-space/scalar carry stays
+        # invariant because all its cross-shard data flows through psum/pmax
+        # (whose outputs the checker treats as replicated).
+        mark = lambda v: jax.lax.pcast(v, ax, to="varying")
+        zeros_m = mark(jnp.zeros(l.shape, dt))
+        state0 = (
+            jnp.zeros((n,), dt),            # x (replicated)
+            zeros_m, zeros_m,               # z, y (row-sharded)
+            jnp.zeros((n,), dt),            # xx carry (CG warm start)
+            jnp.asarray(settings.rho, dt),  # rho
+            jnp.asarray(settings.rho, dt),  # rho_cand
+            jnp.zeros((), jnp.int32),       # status
+            jnp.zeros((), jnp.int32),       # iterations at finish
+            jnp.zeros((), jnp.int32),       # global iteration
+            jnp.full((), jnp.inf, dt),      # res_prim
+            jnp.full((), jnp.inf, dt),      # res_dual
+            # products cache for certificate deltas (Px, Ax, ATy at the
+            # previous check; Ax row-sharded, others replicated)
+            jnp.zeros((n,), dt), zeros_m, jnp.zeros((n,), dt),
+        )
+        max_total = settings.num_checks * settings.check_interval
+
+        def cond(st):
+            return (st[8] < max_total) & (st[6] == Status.RUNNING)
+
+        def body(st):
+            (x, z, y, xx_c, rho, rho_cand, status, iters, it, rp, rd,
+             Px_p, Ax_p, ATy_p) = st
+            if settings.adaptive_rho:
+                f = settings.rho_factor
+                trip = (rho_cand * f < rho) | (rho_cand > f * rho)
+                rho = jnp.where(trip, rho_cand, rho)
+            dinv = diag_inv(rho)
+            x_start, z_start, y_start = x, z, y
+
+            def step(_, carry):
+                x, z, y, xx_c = carry
+                b = sigma * x - q + matvec_At(rho * z - y)
+                xx = _pcg(apply_M(rho), b, xx_c, dinv,
+                          abs_tol=settings.cg_eps,
+                          max_iterations=settings.cg_max_iterations,
+                          rel_tol=settings.cg_rel_eps)
+                zz = matvec_A(xx)
+                xp, zp = x, z
+                x = alpha * xx + alpha1 * xp
+                z = jnp.clip(alpha * zz + alpha1 * zp + y / rho, l, u)
+                y = y + rho * (alpha * zz + alpha1 * zp - z)
+                return x, z, y, xx
+
+            x, z, y, xx_c = jax.lax.fori_loop(
+                0, settings.check_interval, step, (x, z, y, xx_c))
+            it = it + settings.check_interval
+
+            Ax = matvec_A(x)
+            Px = matvec_P(x)
+            ATy = matvec_At(y)
+            res_prim = pmax(inf_norm(unsc_p(Ax - z)))
+            res_dual = inf_norm(unsc_d(Px + q + ATy))
+            max_prim = jnp.maximum(pmax(inf_norm(unsc_p(Ax))),
+                                   pmax(inf_norm(unsc_p(z))))
+            max_dual = jnp.maximum(
+                jnp.maximum(inf_norm(unsc_d(Px)), inf_norm(unsc_d(ATy))),
+                inf_norm(unsc_d(q)))
+
+            if settings.adaptive_rho:
+                # rho adapts on the solve-space residuals (OSQP discipline;
+                # see models/admm.py:_check_convergence).
+                rp_s = pmax(inf_norm(Ax - z))
+                rd_s = inf_norm(Px + q + ATy)
+                mp_s = jnp.maximum(pmax(inf_norm(Ax)), pmax(inf_norm(z)))
+                md_s = jnp.maximum(
+                    jnp.maximum(inf_norm(Px), inf_norm(ATy)), inf_norm(q))
+                den = rd_s * mp_s
+                cand = jnp.clip(
+                    rho * jnp.sqrt(rp_s * md_s / jnp.where(den == 0, 1.0, den)),
+                    RHO_MIN, RHO_MAX).astype(dt)
+                ok = jnp.isfinite(cand) & (den != 0) & (cand > 0)
+                rho_cand = jnp.where((status == Status.RUNNING) & ok,
+                                     cand, rho_cand)
+
+            eps_prim = settings.eps_abs + settings.eps_rel * max_prim
+            eps_dual = settings.eps_abs + settings.eps_rel * max_dual
+            solved = (res_prim < eps_prim) & (res_dual < eps_dual)
+            ulp = jnp.asarray(8 * jnp.finfo(dt).eps, dt)
+            eps_admm = jnp.asarray(settings.eps_admm, dt)
+            fp = ((inf_norm(unsc_x(x - x_start))
+                   <= eps_admm + ulp * jnp.maximum(inf_norm(unsc_x(x)), 1.0))
+                  & (pmax(inf_norm(unsc_p(z - z_start)))
+                     <= eps_admm
+                     + ulp * jnp.maximum(pmax(inf_norm(unsc_p(z))), 1.0)))
+            act = status == Status.RUNNING
+            status = jnp.where(act & solved, Status.SOLVED, status)
+            status = jnp.where(act & fp, Status.SOLVED_ADMM, status)
+            if settings.check_infeasibility:
+                # OSQP §3.4 certificates, row-space pieces reduced over the
+                # mesh (same math as consensus.py / models/admm.py).
+                eps_p = jnp.asarray(settings.eps_prim_inf, dt)
+                eps_d = jnp.asarray(settings.eps_dual_inf, dt)
+                dy = y - y_start
+                dx = x - x_start
+                ndy = pmax(inf_norm(dy))
+                pos = jnp.maximum(dy, 0.0)
+                neg = jnp.minimum(dy, 0.0)
+                tol = eps_p * ndy
+                term_u = jnp.where(jnp.isfinite(u), u * pos,
+                                   jnp.where(pos > tol, jnp.inf, 0.0))
+                term_l = jnp.where(jnp.isfinite(l), l * neg,
+                                   jnp.where(neg < -tol, jnp.inf, 0.0))
+                support = psum(jnp.sum(term_u + term_l))
+                prim_inf = ((ndy > 0)
+                            & (inf_norm(ATy - ATy_p) <= eps_p * ndy)
+                            & (support <= -eps_p * ndy))
+                ndx = inf_norm(dx)
+                Adx = Ax - Ax_p
+                tol_d = eps_d * ndx
+                fin_l = jnp.isfinite(l)
+                fin_u = jnp.isfinite(u)
+                ok_rows = jnp.where(
+                    fin_l & fin_u, jnp.abs(Adx) <= tol_d,
+                    jnp.where(fin_l, Adx >= -tol_d,
+                              jnp.where(fin_u, Adx <= tol_d, True)))
+                all_ok = psum(jnp.sum((~ok_rows).astype(jnp.int32))) == 0
+                dual_inf = ((ndx > 0)
+                            & (inf_norm(Px - Px_p) <= eps_d * ndx)
+                            & (jnp.sum(q * dx) <= -eps_d * ndx)
+                            & all_ok)
+                noise = 16 * jnp.finfo(dt).eps
+                prim_inf &= (res_prim > 10 * eps_prim) & (
+                    ndy > noise * jnp.maximum(pmax(inf_norm(y)), 1.0))
+                dual_inf &= (res_dual > 10 * eps_dual) & (
+                    ndx > noise * jnp.maximum(inf_norm(x), 1.0))
+                overridable = act & (status != Status.SOLVED)
+                status = jnp.where(overridable & prim_inf,
+                                   Status.PRIMAL_INFEASIBLE, status)
+                status = jnp.where(overridable & dual_inf & ~prim_inf,
+                                   Status.DUAL_INFEASIBLE, status)
+            status = status.astype(jnp.int32)
+            iters = jnp.where(act & (status != Status.RUNNING), it, iters)
+            rp = jnp.where(act, res_prim, rp)
+            rd = jnp.where(act, res_dual, rd)
+            return (x, z, y, xx_c, rho, rho_cand, status, iters, it, rp, rd,
+                    Px, Ax, ATy)
+
+        st = jax.lax.while_loop(cond, body, state0)
+        x, z, y, _, rho, _, status, iters, it, rp, rd = st[:11]
+        exhausted = status == Status.RUNNING
+        status = jnp.where(exhausted, Status.MAX_ITERATIONS,
+                           status).astype(jnp.int32)
+        iters = jnp.where(exhausted, it, iters)
+        # Unscale the returned iterates (solve(scaling=...) semantics).
+        x_u = x * d_scale
+        z_u = z * e_inv
+        y_u = y * e_scale / c_scale
+        obj = 0.5 * jnp.sum(x_u * (matvec_P(x) / (d_scale * c_scale))) \
+            + jnp.sum((q / (d_scale * c_scale)) * x_u)
+        return (x_u, z_u[None], y_u[None], status, iters, rp, rd,
+                rho * jnp.ones((), dt), obj)
+
+    blk = (sq.A_vals, sq.A_cols, sq.Atp_vals, sq.Atp_cols, sq.Ptp_vals,
+           sq.Ptp_cols, sq.l, sq.u, sq.e_scale)
+    blk = tuple(jax.device_put(b, NamedSharding(mesh, P(ax)))
+                for b in blk)
+    rep = NamedSharding(mesh, P())
+    args = tuple(jax.device_put(v, rep) for v in (sq.q, sq.dP, sq.dAtA))
+    with jax.default_matmul_precision(settings.matmul_precision):
+        x, z, y, status, iters, rp, rd, rho, obj = run(blk, *args)
+    z = z.reshape(-1)[:m_out]
+    y = y.reshape(-1)[:m_out]
+    info = SolveInfo(status=status, iterations=iters, res_prim=rp,
+                     res_dual=rd, rho=rho, objective=obj)
+    return Solution(x=x, z=z, y=y, info=info)

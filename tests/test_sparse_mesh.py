@@ -1,0 +1,122 @@
+"""Distributed sparse path: one huge sparse QP row-sharded over the mesh
+(parallel/sparse_mesh.py) must match the single-device SparseQP solve."""
+
+import dataclasses
+
+import numpy as np
+import pytest
+import scipy.sparse as sp
+
+import jax
+from jax.sharding import Mesh
+
+import quadraticprogramsolver_tpu as qps
+from quadraticprogramsolver_tpu.core.sparse_problem import make_sparse_qp
+from quadraticprogramsolver_tpu.models.admm import solve_jit
+from quadraticprogramsolver_tpu.models.scaling import equilibrate_sparse_host
+from quadraticprogramsolver_tpu.parallel.sparse_mesh import (
+    shard_sparse_qp,
+    solve_sparse_mesh,
+)
+from quadraticprogramsolver_tpu.utils.oracle import kkt_optimality
+
+SETTINGS = qps.Settings(max_iterations=2000, eps_abs=1e-9, eps_rel=1e-9,
+                        rho=0.1, adaptive_rho=True, check_interval=25,
+                        cg_eps=1e-12, cg_max_iterations=400)
+
+
+def _sparse_problem(n=600, m=300, seed=0, density=0.01):
+    rng = np.random.default_rng(seed)
+    G = sp.random(n, n, density=density, random_state=rng,
+                  data_rvs=rng.standard_normal, format="csr")
+    Pm = (G.T @ G + 0.05 * sp.identity(n)).tocsr()
+    A = sp.random(m, n, density=density, random_state=rng,
+                  data_rvs=rng.standard_normal, format="csr")
+    # Guarantee no structurally-empty constraint rows (they make l<=0<=u
+    # mandatory for feasibility noise-free comparisons).
+    A = A + sp.diags(np.ones(min(m, n)), 0, shape=(m, n), format="csr")
+    q = rng.standard_normal(n)
+    u = rng.random(m) + 0.5
+    l = -(rng.random(m) + 0.5)
+    return Pm, q, A, l, u
+
+
+def test_mesh_matches_single_device():
+    Pm, q, A, l, u = _sparse_problem()
+    single = make_sparse_qp(Pm, q, A, l, u, dtype=np.float64)
+    ref = solve_jit(single, SETTINGS)
+
+    mesh = Mesh(np.asarray(jax.devices()[:4]), ("rows",))
+    sq = shard_sparse_qp(Pm, q, A, l, u, 4, dtype=np.float64)
+    sol = solve_sparse_mesh(sq, SETTINGS, mesh, m_orig=A.shape[0])
+
+    assert int(sol.info.status) == int(ref.info.status)
+    assert int(sol.info.iterations) == int(ref.info.iterations)
+    np.testing.assert_allclose(np.asarray(sol.x), np.asarray(ref.x),
+                               rtol=0, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(sol.z), np.asarray(ref.z),
+                               rtol=0, atol=1e-7)
+    np.testing.assert_allclose(float(sol.info.objective),
+                               float(ref.info.objective), rtol=1e-8)
+    rep = kkt_optimality(Pm.toarray(), q, A.toarray(), l, u,
+                         np.asarray(sol.x), np.asarray(sol.z),
+                         np.asarray(sol.y))
+    assert rep.optimal(1e-6), rep
+
+
+def test_mesh_with_host_ruiz_scaling():
+    Pm, q, A, l, u = _sparse_problem(seed=3)
+    # Make it badly scaled so Ruiz matters.
+    s = np.logspace(-2, 2, A.shape[0])
+    A = sp.diags(s) @ A
+    l = s * l
+    u = s * u
+    Ps, qs, As, ls, us, scal = equilibrate_sparse_host(Pm, q, A, l, u)
+
+    single = make_sparse_qp(Ps, qs, As, ls, us, dtype=np.float64)
+    ref = solve_jit(single, SETTINGS, scaling=scal)
+
+    mesh = Mesh(np.asarray(jax.devices()[:4]), ("rows",))
+    sq = shard_sparse_qp(Ps, qs, As, ls, us, 4, dtype=np.float64,
+                         scaling=scal)
+    sol = solve_sparse_mesh(sq, SETTINGS, mesh, m_orig=A.shape[0],
+                            scaling=scal)
+    assert int(sol.info.status) == int(ref.info.status)
+    np.testing.assert_allclose(np.asarray(sol.x), np.asarray(ref.x),
+                               rtol=0, atol=1e-7)
+    rep = kkt_optimality(Pm.toarray(), q, A.toarray(), l, u,
+                         np.asarray(sol.x), np.asarray(sol.z),
+                         np.asarray(sol.y))
+    assert rep.optimal(1e-6), rep
+
+
+def test_mesh_8_shards_uneven_rows():
+    # m not divisible by the shard count: inert-row padding must not change
+    # the solution.
+    Pm, q, A, l, u = _sparse_problem(n=200, m=157, seed=1)
+    single = make_sparse_qp(Pm, q, A, l, u, dtype=np.float64)
+    ref = solve_jit(single, SETTINGS)
+    mesh = Mesh(np.asarray(jax.devices()[:8]), ("rows",))
+    sq = shard_sparse_qp(Pm, q, A, l, u, 8, dtype=np.float64)
+    sol = solve_sparse_mesh(sq, SETTINGS, mesh, m_orig=157)
+    assert sol.z.shape == (157,)
+    assert int(sol.info.iterations) == int(ref.info.iterations)
+    np.testing.assert_allclose(np.asarray(sol.x), np.asarray(ref.x),
+                               rtol=0, atol=1e-7)
+
+
+def test_mesh_infeasible_flagged():
+    # Contradictory rows: the distributed certificates must fire like the
+    # single-device ones.
+    n = 64
+    Pm = sp.identity(n, format="csr")
+    A = sp.csr_matrix(np.vstack([np.eye(n)[:1], np.eye(n)[:1]]))
+    q = np.zeros(n)
+    l = np.array([1.0, -np.inf])
+    u = np.array([np.inf, -1.0])
+    st = dataclasses.replace(SETTINGS, max_iterations=4000, eps_abs=1e-8,
+                             eps_rel=1e-8)
+    mesh = Mesh(np.asarray(jax.devices()[:2]), ("rows",))
+    sq = shard_sparse_qp(Pm, q, A, l, u, 2, dtype=np.float64)
+    sol = solve_sparse_mesh(sq, st, mesh, m_orig=2)
+    assert int(sol.info.status) == qps.Status.PRIMAL_INFEASIBLE
