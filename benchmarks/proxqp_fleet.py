@@ -77,6 +77,9 @@ def main(argv=None):
     p.add_argument("--refine", type=int, default=1)
     p.add_argument("--ci", type=int, default=50)
     p.add_argument("--no-adapt", action="store_true")
+    p.add_argument("--eps", type=float, default=1e-4,
+                   help="solver tolerance; the audit bar stays 1e-4 (tighten "
+                        "eps below the bar to pass the audit at large B)")
     args = p.parse_args(argv)
 
     import jax
@@ -97,7 +100,7 @@ def main(argv=None):
     best = None
     for rho in rhos:
         st = qps.ProxQPSettings(
-            max_iterations=2000, eps_abs=1e-4, eps_rel=1e-4, rho=rho,
+            max_iterations=2000, eps_abs=args.eps, eps_rel=args.eps, rho=rho,
             adaptive_rho=not args.no_adapt, kkt_warm_start=False,
             kkt_refinement_steps=args.refine, check_interval=args.ci,
             fused_chunk=on_tpu)
@@ -117,6 +120,7 @@ def main(argv=None):
             f"{conv/dt:.0f} solves/s")
         if best is None or conv / dt > best[0]:
             best = (conv / dt, sol)
+            best_rho = rho
 
     # Accuracy audit: re-solve a few lanes through the independent f64 oracle
     # on the lowered box form (equalities become l=u=b rows).
@@ -125,8 +129,19 @@ def main(argv=None):
     box = prob.to_box_qp()
     sol = best[1]
     x = np.asarray(sol.x)
+    conv_mask = np.asarray(sol.info.converged)
+    iters_all = np.asarray(sol.info.iterations)
+    # Audit lanes: 4 evenly spaced + the 4 WORST-iteration converged lanes
+    # (stragglers are where fleet configs hide inaccuracy — same discipline
+    # as bench.py's 16-lane audit).
+    spaced = np.linspace(0, args.batch - 1, 4).astype(int)
+    conv_idx = np.nonzero(conv_mask)[0]
+    worst = conv_idx[np.argsort(iters_all[conv_idx])[-4:]] if conv_idx.size else []
+    lanes = sorted(set(spaced.tolist()) | set(np.asarray(worst).tolist()))
     devs = []
-    for i in (0, args.batch // 2, args.batch - 1):
+    for i in lanes:
+        if not conv_mask[i]:
+            continue
         ref = solve_qp_reference(
             np.asarray(box.P[i], np.float64), np.asarray(box.q[i], np.float64),
             np.asarray(box.A[i], np.float64), np.asarray(box.l[i], np.float64),
@@ -134,8 +149,15 @@ def main(argv=None):
             eps_abs=1e-7, eps_rel=1e-7, rho=0.1, max_iterations=50_000)
         if ref.status == 3:
             devs.append(np.abs(x[i] - ref.x).max())
-    if devs:
-        log(f"accuracy audit: max|x-x_ref|_inf over {len(devs)} lanes = {max(devs):.2e}")
+    audit = max(devs) if devs else float("nan")
+    log(f"accuracy audit: max|x-x_ref|_inf over {len(devs)} lanes "
+        f"(incl. worst stragglers) = {audit:.2e}")
+    import json
+    print(json.dumps({
+        "benchmark": "proxqp_fleet", "batch": args.batch, "n": args.n,
+        "eps": args.eps, "rho": best_rho,
+        "solves_per_s": best[0], "audit_inf": audit,
+        "audit_lanes": len(devs), "audit_pass_1e-4": bool(audit <= 1e-4)}))
 
     # Stage split: factor (M build + inverse) vs one chunk of iterations.
     import jax.numpy as jnp

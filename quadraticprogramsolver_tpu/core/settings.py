@@ -161,6 +161,16 @@ class Settings:
     #: Requires kkt_refinement_steps == 0 (refinement needs M^{-1}) and the
     #: CHOLESKY (or AUTO-dense) backend.
     sigma_free_rhs: bool = False
+    #: Run the sigma-free factor as fused Pallas kernels (ops/fused_factor):
+    #: the normal-matrix build seeds an augmented slab [M | A' q] in one
+    #: kernel (gram on the MXU in VMEM), and each Gauss-Jordan level updates
+    #: the live trailing column blocks IN PLACE (donated slab) — no
+    #: intermediate (B, n, n) materializations. Numerics identical to the
+    #: unfused gj_solve_sweep; dots pinned to HIGHEST regardless of
+    #: factor_precision. Requires sigma_free_rhs, the dense CHOLESKY
+    #: backend, float32, one batch axis, and n/m multiples of 128; silently
+    #: falls back to the XLA build + gj_solve_sweep otherwise.
+    fused_factor: bool = False
     #: Per-constraint penalty weighting: equality rows (l == u) get
     #: rho * rho_eq_scale (OSQP's vector-rho scheme — the reference's To-Do
     #: #1 "paramRho as a matrix"). 1.0 reproduces the reference's scalar rho.

@@ -113,9 +113,34 @@ def _build_normal_matrix(qp: QP, rho_row, sigma):
     return add_scaled_identity(qp.P + AtWA, sigma)
 
 
+def _fused_factor_ok(qp: QP, settings: Settings) -> bool:
+    return (
+        settings.fused_factor
+        and settings.sigma_free_rhs
+        and qp.is_dense
+        and qp.dtype == jnp.float32
+        and len(qp.batch_shape) == 1
+        and qp.n % 128 == 0
+        and qp.m % 128 == 0
+    )
+
+
 def cholesky_init(qp: QP, rho, sigma, settings: Settings):
     rho_row = jnp.broadcast_to(rho_rows(qp, rho, settings),
                                qp.batch_shape + (qp.m,))
+    if _fused_factor_ok(qp, settings):
+        # Fused slab factor (ops/fused_factor.py): build + GJ levels as
+        # Pallas kernels, slab updated in place. Dots are pinned to HIGHEST
+        # inside the kernels, so factor_precision does not apply here.
+        from ..ops.fused_factor import fused_factor_solve, pack_rhs
+
+        R = pack_rhs(jnp.broadcast_to(qp.A, qp.batch_shape + (qp.m, qp.n)),
+                     jnp.broadcast_to(qp.q, qp.batch_shape + (qp.n,)))
+        X = fused_factor_solve(
+            jnp.broadcast_to(qp.P, qp.batch_shape + (qp.n, qp.n)),
+            R, rho_row, sigma=float(settings.sigma_for(qp.dtype)),
+            interpret=jax.default_backend() != "tpu")
+        return {"G": X[..., :, : qp.m], "g": X[..., :, qp.m]}
     # The factor path may run at a lower matmul precision than the rest of
     # the solve (Settings.factor_precision): M^{-1} only needs to be a good
     # preconditioner when refinement is on, and the refinement residual is

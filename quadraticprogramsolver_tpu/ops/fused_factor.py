@@ -15,23 +15,37 @@ build 51 ms, the rest ~200 ms, of which the pivot kernels are ~90 ms
 (VPU-bound) and the XLA level updates ~110 ms against a ~26 ms MXU floor —
 the overhead is intermediate materialization and per-level HBM round trips.
 
-Design here (what actually shipped, after measuring alternatives):
+Design (fourth iteration; three measured dead ends below):
 
-* **Augmented slab**: the working state is ONE buffer S_j = [W_trailing | Y]
-  (n, width_j + k_pad) per lane — the GJ update for the trailing pivot
-  columns and for the RHS block is the same formula, so each level is a
-  single fused kernel: S' = S[:, NB:] - C @ (Dinv @ S[pivot rows, NB:]),
-  with the pivot rows replaced by Dinv @ S[pivot rows, NB:]. One read + one
-  write of the (shrinking) slab per level — no intermediates.
-* **Level-0 build kernel**: seeds S_0 = [M | R] straight from P and
+* **One constant-width slab S = [R | M], updated in place, eliminated
+  right-to-left.** Block Gauss-Jordan elimination order is free for SPD, so
+  pivot blocks are processed from M's LAST column block to its first: the
+  live region is always columns [0, k_pad + (j+1)*128) — contiguous from
+  zero — and each level is ONE full-width block per lane (grid = B). The
+  pivot columns sit at the live region's right edge and are read from
+  inside the same block (no separate C operand, no pivot-column copy), the
+  updated live region is written back to offset 0 of the SAME buffer
+  (``input_output_aliases``), and the dead pivot columns at the right are
+  simply never touched again. Peak HBM: one slab.
+* **Level-0 build kernel**: seeds S = [R | M] straight from P and
   R = [A' q], computing the gram A' diag(rho) A on the MXU in VMEM (the
-  separate XLA einsum cost 51 ms, mostly the extra M round trip).
+  separate XLA einsum costs 51 ms, mostly the extra M round trip).
 * **Pivot inverses stay in the standalone multi-lane sweep kernel**
   (ops/spd_kernels.pallas_spd_inverse_unrolled): its per-lane-step cost
   depends critically on lane stacking (measured 57 ns/lane-step at lanes=8
-  vs 364 ns at lanes=1), so it must run at 8+ lanes — which rules out
-  fusing it into the slab kernel (a full per-lane fusion was built and
-  measured: 573 ms at lanes=1; lanes>=2 exceeds VMEM at n=512).
+  vs 364 ns at lanes=1), so it must run at 8+ lanes.
+
+Measured dead ends (do not redo):
+  * Full per-lane fusion (pivot sweep inside the slab kernel): 573 ms at
+    lanes=1 — the per-step issue overhead of 512 sequential VPU steps per
+    lane dwarfs the saved traffic; lanes>=2 exceeds VMEM at n=512.
+  * Shrinking-width slab (a fresh, 128-columns-narrower buffer per level):
+    correct and fast at small B, but peak HBM holds two multi-GB slabs plus
+    P — RESOURCE_EXHAUSTED at the headline B=3072, n=512.
+  * In-place slab with a (lane, trailing-128-column-block) grid: fits, but
+    only matches the unfused path (249 vs 261 ms) — 55k tiny grid steps pay
+    per-step issue overhead, and the separate pivot-column slab slice costs
+    an extra HBM round trip per level.
 
 Numerics are identical to the unfused path: the same unpivoted symmetric
 block Gauss-Jordan (fine for SPD), f32 with all dots at HIGHEST.
@@ -54,54 +68,61 @@ NB = 128
 _HI = jax.lax.Precision.HIGHEST
 
 
-def _dot(a, b, dims=((1,), (0,))):
+def _dot(a, b, dims=((1,), (0,)), precision=_HI):
     return jax.lax.dot_general(
         a, b, (dims, ((), ())), preferred_element_type=jnp.float32,
-        precision=_HI)
+        precision=precision)
 
 
-def _build_slab_kernel(P_ref, R_ref, rho_ref, S_ref, *, n, m, sigma):
-    """S_0 = [P + sigma*I + A' diag(rho) A | R] per lane (grid over lanes)."""
+def _build_slab_kernel(P_ref, R_ref, rho_ref, S_ref, *, n, m, k_pad, sigma):
+    """S = [R | P + sigma*I + A' diag(rho) A] per lane (grid over lanes)."""
     f32 = jnp.float32
     eye = (jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
            == jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)).astype(f32)
     At = R_ref[0, :, :m]                            # (n, m)
     gram = _dot(At * rho_ref[0], At, ((1,), (1,)))  # A' diag(rho) A
-    S_ref[0, :, :n] = P_ref[0] + sigma * eye + gram
-    S_ref[0, :, n:] = R_ref[0]
+    S_ref[0, :, :k_pad] = R_ref[0]
+    S_ref[0, :, k_pad:] = P_ref[0] + sigma * eye + gram
 
 
-def _slab_level_kernel(S_ref, Dinv_ref, out_ref, *, n, j):
-    """One GJ level on the augmented slab (grid over lanes).
+def _slab_level_kernel(S_ref, Dinv_ref, out_ref, *, n, j, w_out, prec):
+    """One GJ level on the whole live region (grid over lanes), in place.
 
-    Slab columns [0, NB) are the current pivot columns; the pivot rows are
-    [j*NB, (j+1)*NB). Output drops the pivot columns (width shrinks by NB).
+    The live region is S[:, :w_out + NB]; its last NB columns are this
+    level's pivot columns (M's block column j), its first w_out columns the
+    surviving state. Pivot rows take the normalized rows exactly (the
+    subtraction there cancels only in exact arithmetic — same discipline as
+    gj_solve_sweep).
     """
-    S = S_ref[0]                                   # (n, width)
+    S = S_ref[0]                                   # (n, w_out + NB)
     Dinv = Dinv_ref[0]                             # (NB, NB)
-    C = S[:, :NB]                                  # (n, NB)
-    T = S[j * NB:(j + 1) * NB, NB:]                # (NB, width - NB)
-    DinvT = _dot(Dinv, T)
-    upd = S[:, NB:] - _dot(C, DinvT)
+    C = S[:, w_out:]                               # (n, NB) pivot columns
+    T = S[:, :w_out]                               # (n, w_out)
+    DinvT = _dot(Dinv, T[j * NB:(j + 1) * NB, :], precision=prec)
+    upd = T - _dot(C, DinvT, precision=prec)
     rows = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)
     in_j = (rows >= j * NB) & (rows < (j + 1) * NB)
     pad = [(j * NB, n - (j + 1) * NB), (0, 0)]
-    # Pivot rows take the normalized rows exactly (the subtraction there
-    # cancels only in exact arithmetic — same discipline as gj_solve_sweep).
     out_ref[0] = jnp.where(in_j, jnp.pad(DinvT, pad), upd)
 
 
 @functools.partial(
-    jax.jit, static_argnames=("sigma", "pivot_lanes", "interpret"))
+    jax.jit,
+    static_argnames=("sigma", "pivot_lanes", "dot_precision", "interpret"))
 def fused_factor_solve(P, R, rho_row, *, sigma: float, pivot_lanes: int = 8,
+                       dot_precision: str = "highest",
                        interpret: bool = False):
-    """X = (P + sigma*I + A' diag(rho_row) A)^{-1} R via fused slab levels.
+    """X = (P + sigma*I + A' diag(rho_row) A)^{-1} R via in-place slab levels.
 
     Args:
       P: (B, n, n) f32, symmetric (positive definite with the sigma shift).
       R: (B, n, k_pad) f32 — packed RHS whose first m columns are A' (they
          double as the gram operand; see :func:`pack_rhs`).
       rho_row: (B, m) per-constraint penalties.
+      dot_precision: MXU passes for the LEVEL-update dots ("highest" = full
+         f32 6-pass, "high" = bf16x3). The build gram and the pivot inverses
+         always run at HIGHEST (they set the conditioning); "high" on the
+         updates is a measured-accuracy trade, not a default.
     Returns:
       X: (B, n, k_pad) f32 with M X = R.
     """
@@ -114,33 +135,42 @@ def fused_factor_solve(P, R, rho_row, *, sigma: float, pivot_lanes: int = 8,
         raise ValueError(f"n, k_pad, m must be multiples of {NB}; "
                          f"got {(n, k_pad, m)}")
     f32 = jnp.float32
+    wid = k_pad + n
+    prec = {"highest": jax.lax.Precision.HIGHEST,
+            "high": jax.lax.Precision.HIGH}[dot_precision]
 
     lane_mat = lambda r, c: pl.BlockSpec((1, r, c), lambda b: (b, 0, 0),
                                          memory_space=pltpu.VMEM)
 
     S = pl.pallas_call(
-        functools.partial(_build_slab_kernel, n=n, m=m, sigma=sigma),
+        functools.partial(_build_slab_kernel, n=n, m=m, k_pad=k_pad,
+                          sigma=sigma),
         grid=(B,),
         in_specs=[lane_mat(n, n), lane_mat(n, k_pad), lane_mat(1, m)],
-        out_specs=lane_mat(n, n + k_pad),
-        out_shape=jax.ShapeDtypeStruct((B, n, n + k_pad), f32),
+        out_specs=lane_mat(n, wid),
+        out_shape=jax.ShapeDtypeStruct((B, n, wid), f32),
         interpret=interpret,
     )(P.astype(f32), R.astype(f32), rho_row.astype(f32)[:, None, :])
 
-    for j in range(n // NB):
-        width = S.shape[-1]
-        Dinv = pallas_spd_inverse_unrolled(
-            S[:, j * NB:(j + 1) * NB, :NB], lanes=pivot_lanes,
-            interpret=interpret)
+    for j in range(n // NB - 1, -1, -1):
+        # The pivot-block slice for the inverse sweep is the only state read
+        # outside the level kernel (a (B, NB, NB) copy).
+        D = jax.lax.slice(S, (0, j * NB, k_pad + j * NB),
+                          (B, (j + 1) * NB, k_pad + (j + 1) * NB))
+        Dinv = pallas_spd_inverse_unrolled(D, lanes=pivot_lanes,
+                                           interpret=interpret)
+        w_out = k_pad + j * NB
         S = pl.pallas_call(
-            functools.partial(_slab_level_kernel, n=n, j=j),
+            functools.partial(_slab_level_kernel, n=n, j=j, w_out=w_out,
+                              prec=prec),
             grid=(B,),
-            in_specs=[lane_mat(n, width), lane_mat(NB, NB)],
-            out_specs=lane_mat(n, width - NB),
-            out_shape=jax.ShapeDtypeStruct((B, n, width - NB), f32),
+            in_specs=[lane_mat(n, w_out + NB), lane_mat(NB, NB)],
+            out_specs=lane_mat(n, w_out),
+            out_shape=jax.ShapeDtypeStruct((B, n, wid), f32),
+            input_output_aliases={0: 0},
             interpret=interpret,
         )(S, Dinv)
-    return S
+    return jax.lax.slice(S, (0, 0, 0), (B, n, k_pad))
 
 
 def pack_rhs(A, q):

@@ -225,3 +225,43 @@ def test_solve_sigma_free_end_to_end_fused():
     assert ok.any()
     dev = np.abs(np.asarray(sol_a.x)[ok] - np.asarray(sol_b.x)[ok]).max()
     assert dev <= 1e-3, dev
+
+
+def test_fused_factor_matches_gj_sweep():
+    """cholesky_init with fused_factor (in-place slab kernels, interpret on
+    CPU) produces the same {G, g} cache as the XLA build + gj_solve_sweep."""
+    import dataclasses
+
+    st = qps.Settings(rho=0.1, kkt_refinement_steps=0,
+                      sigma_free_rhs=True, sigma=1e-7)
+    qp = _fleet()
+    rho, cache = _setup(qp, st)
+    st_f = dataclasses.replace(st, fused_factor=True)
+    assert kkt._fused_factor_ok(qp, st_f)
+    _, cache_f = _setup(qp, st_f)
+    for k in ("G", "g"):
+        a, b = np.asarray(cache[k]), np.asarray(cache_f[k])
+        scale = np.abs(a).max()
+        assert np.abs(a - b).max() <= 1e-5 * scale, (
+            k, np.abs(a - b).max(), scale)
+
+
+def test_fused_factor_end_to_end_solve():
+    """Full sigma-free solve with fused_factor + fused_chunk agrees with the
+    unfused sigma-free solve."""
+    import dataclasses
+
+    qp = _fleet()
+    base = qps.Settings(rho=0.1, eps_abs=1e-5, eps_rel=1e-5,
+                        max_iterations=2000, kkt_refinement_steps=0,
+                        sigma_free_rhs=True, sigma=1e-7)
+    fused = dataclasses.replace(base, fused_factor=True, fused_chunk=True)
+    sol_a = qps.solve_jit(qp, base)
+    sol_b = qps.solve_jit(qp, fused)
+    st_a = np.asarray(sol_a.info.status)
+    st_b = np.asarray(sol_b.info.status)
+    ok = (st_a >= 2) & (st_a <= 3)
+    assert ok.any()
+    np.testing.assert_array_equal(st_a, st_b)
+    dev = np.abs(np.asarray(sol_a.x)[ok] - np.asarray(sol_b.x)[ok]).max()
+    assert dev <= 1e-3, dev
