@@ -122,6 +122,10 @@ def main():
     # for [G g] directly without materializing M^{-1}. Safe here: the
     # random_qp family has P >= 1e-2 I. Measured +5% (8168 vs 7798 solves/s)
     # at identical iteration counts and audit (1.13e-5 vs 1.15e-5).
+    # fused_factor (round 3): build + GJ levels as in-place Pallas slab
+    # kernels with the v3 pivot sweep (ops/fused_factor.py) — measured
+    # 213 -> after the v3 pivot swap see ROADMAP; falls back to the XLA
+    # build + gj_solve_sweep off-TPU.
     settings = qps.Settings(
         max_iterations=2000,
         eps_abs=1e-4,
@@ -132,6 +136,7 @@ def main():
         kkt_refinement_steps=0,
         sigma_free_rhs=True,
         fused_chunk=on_tpu,
+        fused_factor=on_tpu,
     )
 
     best = None

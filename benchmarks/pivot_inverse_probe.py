@@ -92,6 +92,12 @@ def main(argv=None):
     cands = [
         ("pallas sweep lanes=8",
          jax.jit(lambda D: pallas_spd_inverse_unrolled(D, lanes=8))),
+    ] + [
+        (f"pallas v3 lanes={L}",
+         jax.jit(lambda D, L=L: pallas_spd_inverse_unrolled(
+             D, lanes=L, variant="v3")))
+        for L in (8, 32, 64, 128)
+    ] + [
         ("xla cholesky+cho_solve", jax.jit(_spd_inverse_cholesky)),
         ("xla lu (linalg.inv)", jax.jit(jnp.linalg.inv)),
         ("blocked-Schur (MXU)", jax.jit(lambda D: spd_inverse_blocked(D))),

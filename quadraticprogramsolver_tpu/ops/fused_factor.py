@@ -121,8 +121,10 @@ def fused_factor_solve(P, R, rho_row, *, sigma: float, pivot_lanes: int = 8,
       rho_row: (B, m) per-constraint penalties.
       dot_precision: MXU passes for the LEVEL-update dots ("highest" = full
          f32 6-pass, "high" = bf16x3). The build gram and the pivot inverses
-         always run at HIGHEST (they set the conditioning); "high" on the
-         updates is a measured-accuracy trade, not a default.
+         always run at HIGHEST (they set the conditioning). NOTE: "high" is
+         currently a dead end — Mosaic rejects Precision.HIGH inside kernels
+         (NotImplementedError, round-3 backend); the knob is kept for when
+         the backend learns it.
     Returns:
       X: (B, n, k_pad) f32 with M X = R.
     """
