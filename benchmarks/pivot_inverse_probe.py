@@ -96,7 +96,12 @@ def main(argv=None):
         (f"pallas v3 lanes={L}",
          jax.jit(lambda D, L=L: pallas_spd_inverse_unrolled(
              D, lanes=L, variant="v3")))
-        for L in (8, 32, 64, 128)
+        for L in (8, 32)
+    ] + [
+        (f"pallas panel lanes={L}",
+         jax.jit(lambda D, L=L: pallas_spd_inverse_unrolled(
+             D, lanes=L, variant="panel")))
+        for L in (8, 32)
     ] + [
         ("xla cholesky+cho_solve", jax.jit(_spd_inverse_cholesky)),
         ("xla lu (linalg.inv)", jax.jit(jnp.linalg.inv)),

@@ -79,16 +79,28 @@ def main(argv=None):
         f"prepared in {time.perf_counter()-t0:.1f}s on {jax.devices()[0]}")
 
     # ---- 1. matvec budget units ------------------------------------------
+    # Every dispatch through the remote-TPU relay costs ~27 ms, so a single
+    # matvec measures the relay (CLAUDE.md). Chain CHAIN dependent
+    # applications inside ONE jitted program and divide.
+    CHAIN = 16
+
     def time_op(name, fn, *fnargs, reps=5):
-        out = fn(*fnargs)
+        @jax.jit
+        def chained(v):
+            for _ in range(CHAIN):
+                v = fn(v)
+            return v
+
+        out = chained(*fnargs)
         hard_sync(out)
         dt = None
         for _ in range(reps):
             t0 = time.perf_counter()
-            hard_sync(fn(*fnargs))
+            hard_sync(chained(*fnargs))
             t = time.perf_counter() - t0
             dt = t if dt is None else min(dt, t)
-        log(f"  {name:24s}: {dt*1e3:7.1f} ms")
+        dt = dt / CHAIN
+        log(f"  {name:24s}: {dt*1e3:7.1f} ms (chained x{CHAIN})")
         return dt
 
     v = jnp.asarray(np.random.default_rng(0).standard_normal(args.n), jnp.float32)
@@ -96,13 +108,12 @@ def main(argv=None):
     sigma = jnp.float32(1e-6)
     rho = jnp.float32(0.1)
     mv = {}
-    mv["A"] = time_op("A v", jax.jit(sqp.matvec_A), v)
-    mv["At"] = time_op("A' w", jax.jit(sqp.matvec_At), w)
-    mv["P"] = time_op("P v", jax.jit(sqp.matvec_P), v)
+    mv["AtA"] = time_op("A'(A v)", lambda v: sqp.matvec_At(sqp.matvec_A(v)), v)
+    mv["P"] = time_op("P v", sqp.matvec_P, v)
     mv["normal_op"] = time_op(
         "M v (P+sigma+A'rhoA)",
-        jax.jit(lambda v: sqp.matvec_P(v) + sigma * v
-                + sqp.matvec_At(rho * sqp.matvec_A(v))), v)
+        lambda v: sqp.matvec_P(v) + sigma * v
+        + sqp.matvec_At(rho * sqp.matvec_A(v)), v)
 
     # ---- 2+3. solve sweep over inner forcing ------------------------------
     # Each config is a separate compiled program; the monolithic adaptive
@@ -147,8 +158,9 @@ def main(argv=None):
                 (dt / max(iters, 1)) / mv["normal_op"] - 1.0,
             "kkt_host": {"prim": rep.res_prim, "dual": rep.res_dual,
                          "comp": rep.res_comp},
-            "kkt_pass_1e-3": bool(max(rep.res_prim, rep.res_dual,
-                                      rep.res_comp) < 1e-3),
+            # Relative optimality (the oracle's scale-aware test), not a raw
+            # absolute bound — residual scales here are O(1e2).
+            "kkt_optimal_1e-3": bool(rep.optimal(1e-3)),
         }
         rows.append(row)
         log(f"  {cfg['label']:24s}: {dt:6.1f} s, {iters} iters, "
@@ -158,7 +170,7 @@ def main(argv=None):
             f"dual {rep.res_dual:.1e}")
 
     solved = [r for r in rows if r.get("status") in ("SOLVED", "SOLVED_ADMM")
-              and r.get("kkt_pass_1e-3")]
+              and r.get("kkt_optimal_1e-3")]
     best = min(solved, key=lambda r: r["solve_s"]) if solved else None
     artifact = {
         "benchmark": "config4_large_sparse",

@@ -295,6 +295,64 @@ def _pivot_sweep_v3_kernel(S_ref, out_ref, *, lanes: int, nb: int):
     out_ref[:] = out.reshape(L * nb, nb)
 
 
+def _pivot_sweep_panel_kernel(S_ref, out_ref, *, lanes: int, nb: int,
+                              pw: int = 8):
+    """Rank-pw panel composition of the v3 sweep.
+
+    The v3 kernel's cost is 128 full-(L, nb, nb) passes whose column
+    broadcast caps element throughput at ~330 GF/s. Each sweep step is a
+    PURE rank-1 subtraction W -= a_t w_t' (the e-folding makes the row/col
+    fixes part of the outer product), so pw consecutive steps compose into
+    W -= V U with V = [a_0..a_{pw-1}], U = [w_0'; ..] — ONE batched MXU dot
+    and ONE fused full-W pass per panel (nb/pw passes per level instead of
+    nb). The a_t/w_t factors are derived on panel-restricted slabs
+    Wc = W[:, :, K], Wr = W[:, K, :] (tiny per-step updates), which stay
+    consistent with the full W because each t's update is the same rank-1
+    restricted to those rows/columns.
+
+    Numerics: identical algebra to v3 (same Jacobi pre-scale, same folded
+    fixes), different fusion only.
+    """
+    f32 = jnp.float32
+    L = lanes
+    W = S_ref[:].reshape(L, nb, nb)
+    lane_idx = jax.lax.broadcasted_iota(jnp.int32, (1, 1, nb), 2)
+    sub_idx = jax.lax.broadcasted_iota(jnp.int32, (1, nb, 1), 1)
+    diag_mask = (jnp.broadcast_to(sub_idx, (1, nb, nb))
+                 == jnp.broadcast_to(lane_idx, (1, nb, nb))).astype(f32)
+    Wd = W * diag_mask
+    s_col = jax.lax.rsqrt(jnp.sum(Wd, axis=2, keepdims=True))
+    s_row = jax.lax.rsqrt(jnp.sum(Wd, axis=1, keepdims=True))
+    W = W * s_col * s_row
+    for p in range(nb // pw):
+        k0 = p * pw
+        Wc = W[:, :, k0:k0 + pw]                     # (L, nb, pw)
+        Wr = W[:, k0:k0 + pw, :]                     # (L, pw, nb)
+        a_list, w_list = [], []
+        for t in range(pw):
+            j = k0 + t
+            e_row = (lane_idx == j).astype(f32)      # (1, 1, nb)
+            e_col = (sub_idx == j).astype(f32)       # (1, nb, 1)
+            r = Wr[:, t:t + 1, :]                    # (L, 1, nb)
+            dinv = 1.0 / r[:, :, j:j + 1]            # (L, 1, 1)
+            c = Wc[:, :, t:t + 1]                    # (L, nb, 1)
+            a = (c - e_col) * dinv                   # (L, nb, 1)
+            w = r - e_row                            # (L, 1, nb)
+            a_list.append(a)
+            w_list.append(w)
+            if t + 1 < pw:
+                Wc = Wc - a * w[:, :, k0:k0 + pw]
+                Wr = Wr - a[:, k0:k0 + pw, :] * w
+        V = jnp.concatenate(a_list, axis=2)          # (L, nb, pw)
+        U = jnp.concatenate(w_list, axis=1)          # (L, pw, nb)
+        VU = jax.lax.dot_general(
+            V, U, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=f32, precision=_HI)
+        W = W - VU
+    out = (2.0 * diag_mask - W) * s_col * s_row
+    out_ref[:] = out.reshape(L * nb, nb)
+
+
 @functools.partial(jax.jit, static_argnames=("lanes", "variant", "interpret"))
 def pallas_spd_inverse_unrolled(D, *, lanes: int = 8, variant: str = "v3",
                                 interpret: bool = False):
@@ -343,6 +401,9 @@ def pallas_spd_inverse_unrolled(D, *, lanes: int = 8, variant: str = "v3",
         scratch = []
     elif variant == "v3":
         kernel = functools.partial(_pivot_sweep_v3_kernel, lanes=L, nb=nb)
+        scratch = []
+    elif variant == "panel":
+        kernel = functools.partial(_pivot_sweep_panel_kernel, lanes=L, nb=nb)
         scratch = []
     else:
         kernel = functools.partial(_pivot_sweep_unrolled_kernel, lanes=L, nb=nb)
