@@ -42,7 +42,7 @@ def test_fused_normal_inverse_per_lane_rho():
 
 
 def test_pivot_sweep_unrolled_variants():
-    """Round-2 multi-lane pivot kernel: both variants vs f64 inverse."""
+    """Multi-lane pivot kernel: all variants vs f64 inverse."""
     from quadraticprogramsolver_tpu.ops.spd_kernels import (
         pallas_spd_inverse_unrolled)
 
@@ -52,7 +52,8 @@ def test_pivot_sweep_unrolled_variants():
     D = np.einsum("bki,bkj->bij", W, W).astype(np.float32) + nb * np.eye(
         nb, dtype=np.float32)
     exact = np.linalg.inv(np.asarray(D, np.float64))
-    for variant, tol in (("ref", 1e-5), ("value", 5e-6)):
+    for variant, tol in (("ref", 1e-5), ("value", 5e-6), ("v3", 5e-6),
+                         ("panel", 5e-6)):
         got = np.asarray(pallas_spd_inverse_unrolled(
             jnp.asarray(D), variant=variant, interpret=True))
         rel = np.abs(got - exact).max() / np.abs(exact).max()
