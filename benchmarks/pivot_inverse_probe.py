@@ -60,6 +60,7 @@ def main(argv=None):
     )
     from quadraticprogramsolver_tpu.ops.spd_kernels import (
         pallas_spd_inverse_unrolled,
+        spd_inverse_128_schur,
     )
 
     B, nb = args.batch, args.nb
@@ -98,10 +99,9 @@ def main(argv=None):
              D, lanes=L, variant="v3")))
         for L in (8, 32)
     ] + [
-        (f"pallas panel lanes={L}",
-         jax.jit(lambda D, L=L: pallas_spd_inverse_unrolled(
-             D, lanes=L, variant="panel")))
-        for L in (8, 32)
+        (f"schur64 (2x paired-64 sweeps) lanes={L}",
+         jax.jit(lambda D, L=L: spd_inverse_128_schur(D, lanes=L)))
+        for L in (8, 16)
     ] + [
         ("xla cholesky+cho_solve", jax.jit(_spd_inverse_cholesky)),
         ("xla lu (linalg.inv)", jax.jit(jnp.linalg.inv)),

@@ -353,6 +353,130 @@ def _pivot_sweep_panel_kernel(S_ref, out_ref, *, lanes: int, nb: int,
     out_ref[:] = out.reshape(L * nb, nb)
 
 
+def _pivot_sweep_v3p_kernel(S_ref, out_ref, *, lanes: int, hb: int = 64):
+    """Paired-half v3 sweep: TWO independent (hb, hb) SPD blocks per
+    128-lane tile (problem a in lanes [0, hb), problem b in [hb, 2hb)).
+
+    Why: the v3 sweep is bound by per-step VMEM round trips of the working
+    buffer (measured: 128 dependent pure-FMA passes over (L, 128, 128)
+    already cost 26.8 ms vs v3's 34.9 at B=3072 — the buffer spills through
+    VMEM every step). Pairing halves the buffer AND halves the steps:
+    ~4x less per-sweep traffic at full lane occupancy. Used by
+    spd_inverse_128_schur to build 128x128 inverses from two paired-64
+    sweeps + MXU Schur arithmetic.
+    """
+    f32 = jnp.float32
+    L = lanes
+    W = S_ref[:].reshape(L, hb, 2 * hb)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 2 * hb), 2)
+    lane_h = lane % hb
+    left = (lane < hb).astype(f32)
+    sub = jax.lax.broadcasted_iota(jnp.int32, (1, hb, 1), 1)
+    diag_mask = (jnp.broadcast_to(sub, (1, hb, 2 * hb))
+                 == jnp.broadcast_to(lane_h, (1, hb, 2 * hb))).astype(f32)
+    Wd = W * diag_mask
+    # Row scales are per-lane (each lane belongs to one problem); column
+    # scales are per-(row, half).
+    s_row = jax.lax.rsqrt(jnp.sum(Wd, axis=1, keepdims=True))  # (L, 1, 2hb)
+    s_col_l = jax.lax.rsqrt(jnp.sum(Wd[:, :, :hb], axis=2, keepdims=True))
+    s_col_r = jax.lax.rsqrt(jnp.sum(Wd[:, :, hb:], axis=2, keepdims=True))
+    s_col = s_col_l * left + s_col_r * (1.0 - left)             # (L, hb, 2hb)
+    W = W * s_col * s_row
+    for j in range(hb):
+        e_row = (lane_h == j).astype(f32)            # (1, 1, 2hb) both halves
+        e_col = (sub == j).astype(f32)               # (1, hb, 1)
+        r = W[:, j:j + 1, :]                         # (L, 1, 2hb)
+        a_l = (W[:, :, j:j + 1] - e_col) / r[:, :, j:j + 1]
+        a_r = (W[:, :, hb + j:hb + j + 1] - e_col) / r[:, :, hb + j:hb + j + 1]
+        a = a_l * left + a_r * (1.0 - left)          # (L, hb, 2hb)
+        W = W - a * (r - e_row)
+    out = (2.0 * diag_mask - W) * s_col * s_row
+    out_ref[:] = out.reshape(L * hb, 2 * hb)
+
+
+@functools.partial(jax.jit, static_argnames=("lanes", "interpret"))
+def pallas_spd_inverse_64p(D, *, lanes: int = 8, interpret: bool = False):
+    """Batched (B, 64, 64) SPD inverse via the paired-half v3p sweep.
+
+    B must be even (pairs share a 128-lane tile). Returns f32.
+    """
+    hb = D.shape[-1]
+    B = D.shape[0]
+    if D.shape[-2] != hb or hb != 64:
+        raise ValueError(f"blocks must be (64, 64); got {D.shape}")
+    if B % 2:
+        raise ValueError("batch must be even for pairing")
+    f32 = jnp.float32
+    # Pack pairs side by side: P[p, s, hb*h + l] = D[2p + h, s, l].
+    packed = D.astype(f32).reshape(B // 2, 2, hb, hb)
+    packed = jnp.swapaxes(packed, 1, 2).reshape(B // 2, hb, 2 * hb)
+    L = lanes
+    while (B // 2) % L or (B // 2) // L < 2:
+        L //= 2
+    flat = packed.reshape((B // 2) * hb, 2 * hb)
+    out = pl.pallas_call(
+        functools.partial(_pivot_sweep_v3p_kernel, lanes=L, hb=hb),
+        grid=(B // 2 // L,),
+        in_specs=[pl.BlockSpec((L * hb, 2 * hb), lambda b: (b, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((L * hb, 2 * hb), lambda b: (b, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(((B // 2) * hb, 2 * hb), f32),
+        interpret=interpret,
+    )(flat)
+    out = out.reshape(B // 2, hb, 2, hb)
+    return jnp.swapaxes(out, 1, 2).reshape(B, hb, hb)
+
+
+@functools.partial(jax.jit, static_argnames=("lanes", "interpret"))
+def spd_inverse_128_schur(D, *, lanes: int = 8, interpret: bool = False):
+    """Batched (B, 128, 128) SPD inverse: 2x2 block-Schur over paired-64
+    sweeps (pallas_spd_inverse_64p) + MXU Schur arithmetic.
+
+        D = [[A, B], [B', C]],  S = C - B' A^{-1} B,  W = A^{-1} B
+        D^{-1} = [[A^{-1} + W S^{-1} W',  -W S^{-1}],
+                  [-S^{-1} W',             S^{-1}]]
+
+    Two sequential paired sweeps (A-batch, then S-batch) at ~1/4 the
+    per-sweep VMEM traffic of the direct 128 sweep, plus four batched
+    64-sized HIGHEST matmuls.
+    """
+    B = D.shape[0]
+    nb = D.shape[-1]
+    if nb != 128 or D.shape[-2] != nb:
+        raise ValueError(f"blocks must be (128, 128); got {D.shape}")
+    if B % 2:
+        return _pivot_fallback(D, lanes=lanes, interpret=interpret)
+    f32 = jnp.float32
+    D = D.astype(f32)
+    h = 64
+    A = D[:, :h, :h]
+    Bm = D[:, :h, h:]
+    C = D[:, h:, h:]
+    dot = lambda a, b: jax.lax.dot_general(
+        a, b, ((( 2,), (1,)), ((0,), (0,))), preferred_element_type=f32,
+        precision=_HI)
+    dot_tn = lambda a, b: jax.lax.dot_general(     # a' b, contracting rows
+        a, b, (((1,), (1,)), ((0,), (0,))), preferred_element_type=f32,
+        precision=_HI)
+    inv11 = pallas_spd_inverse_64p(A, lanes=lanes, interpret=interpret)
+    W1 = dot(inv11, Bm)                            # A^{-1} B
+    S = C - dot_tn(Bm, W1)                         # C - B' A^{-1} B
+    invS = pallas_spd_inverse_64p(S, lanes=lanes, interpret=interpret)
+    X12 = -dot(W1, invS)                           # -W S^{-1}
+    X11 = inv11 - jax.lax.dot_general(             # inv11 + W S^{-1} W'
+        X12, W1, (((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=f32, precision=_HI)
+    top = jnp.concatenate([X11, X12], axis=-1)
+    bot = jnp.concatenate([jnp.swapaxes(X12, -1, -2), invS], axis=-1)
+    return jnp.concatenate([top, bot], axis=-2)
+
+
+def _pivot_fallback(D, *, lanes, interpret):
+    return pallas_spd_inverse_unrolled(D, lanes=lanes, variant="v3",
+                                       interpret=interpret)
+
+
 @functools.partial(jax.jit, static_argnames=("lanes", "variant", "interpret"))
 def pallas_spd_inverse_unrolled(D, *, lanes: int = 8, variant: str = "v3",
                                 interpret: bool = False):
