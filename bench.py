@@ -20,6 +20,7 @@ Protocol (diagnostics on stderr, never stdout):
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
@@ -141,12 +142,14 @@ def main():
 
     best = None
     # Fleet-size choice: every dispatch through the remote-TPU relay costs
-    # ~33 ms fixed latency, so large fleets amortize it (round-1 sweep:
-    # 512 -> 4227/s, 1024 -> 4803/s, 2048 -> 5019/s). B=4096 does not fit
-    # P + A + M(+M_inv) at n=512 in 16 GB; B=3072 fits once sigma_free_rhs
-    # replaces the n^2 M^{-1} with the (n, m) G (measured 8660 vs 8385
-    # solves/s). 2048 is the fallback if the larger fleet OOMs.
-    for batch in (3072, 2048):
+    # ~33 ms fixed latency, and the pivot-sweep stage of the factor is FLAT
+    # in lane count (ROADMAP round-3 budget), so large fleets amortize both
+    # (round-1 sweep: 512 -> 4227/s, 1024 -> 4803/s, 2048 -> 5019/s).
+    # Round 4: B=4096 fits once the build kernel assembles [A' q] in VMEM
+    # and only G/g are sliced from the slab (peak HBM = P 4 + A 2 + slab 7
+    # GiB); round 2's "B=4096 OOM" was measured against the old
+    # P+A+M+M_inv accounting. 3072/2048 are the fallbacks if it OOMs.
+    for batch in (4096, 3072, 2048):
         try:
             t0 = time.perf_counter()
             qp = device_random_qp_fleet(batch, N, M, SEED)
@@ -191,9 +194,20 @@ def main():
 
     rate, batch, dt, sol, qp = best
 
+    # Pull the solution to host now: at B=4096 the factor-stage timing below
+    # re-allocates the 7 GiB slab, and device-resident solution/info buffers
+    # plus allocator fragmentation tipped it into RESOURCE_EXHAUSTED.
+    x = np.asarray(sol.x)
+    status = np.asarray(sol.info.status)
+    iters = np.asarray(sol.info.iterations)
+    del sol, best
+
     # Factor/iterate split (VERDICT r1 item 8): time the factor stage
     # (normal-matrix build + SPD inverse) in isolation; the remainder of the
-    # solve is chunks + checks + fixed dispatch.
+    # solve is chunks + checks + fixed dispatch. The timing program reduces
+    # the cache to two scalars — materializing G as a program OUTPUT costs an
+    # extra 2 GiB of peak HBM at B=4096 that the real solve (where the slab
+    # feeds the slices inside one program) never pays.
     import jax.numpy as jnp
 
     from quadraticprogramsolver_tpu.models import kkt
@@ -204,8 +218,9 @@ def main():
         # sigma_free caches {G, g} instead of {M_inv}; time whichever the
         # settings produce (the factor stage either way).
         init_jit = jax.jit(
-            lambda qp, rho: list(
-                kkt.cholesky_init(qp, rho, sig, settings).values())[0])
+            lambda qp, rho: sum(
+                v.ravel()[0]
+                for v in kkt.cholesky_init(qp, rho, sig, settings).values()))
         hard_sync(init_jit(qp, rho_vec))
         factor_dt = None
         for _ in range(3):
@@ -222,9 +237,6 @@ def main():
     # a convergence flag per run; we go further and check the solution).
     from quadraticprogramsolver_tpu.utils.oracle import solve_qp_reference
 
-    x = np.asarray(sol.x)
-    status = np.asarray(sol.info.status)
-    iters = np.asarray(sol.info.iterations)
     converged = np.where((status == 2) | (status == 3))[0]
     spread = converged[:: max(1, len(converged) // 8)][:8]
     worst = converged[np.argsort(iters[converged])[-8:]]
@@ -243,7 +255,7 @@ def main():
         f"(incl. {len(worst)} worst-iteration) = {audit_max:.2e}")
 
     iters_per_sec = float(iters.sum()) / dt
-    print(json.dumps({
+    result = {
         "metric": "batched 500-var QPs solved/sec/chip at 1e-4",
         "value": round(float(rate), 2),
         "unit": "solves/sec/chip",
@@ -253,7 +265,33 @@ def main():
         "iterate_ms": round((dt - factor_dt) * 1e3, 1),
         "audit_n": len(devs),
         "audit_max_dev": float(f"{audit_max:.3e}") if devs else None,
-    }))
+    }
+
+    # Headline-config artifact (schema-guarded JSONL): the exact
+    # configuration behind the number, recoverable without reading prose.
+    try:
+        from quadraticprogramsolver_tpu.bench.harness import (
+            append_headline_record)
+
+        import dataclasses as _dc
+
+        rec_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                "benchmarks", "results", "headline.jsonl")
+        append_headline_record(rec_path, {
+            "bench": "bench.py", "batch": batch, "n": N, "m": M, "seed": SEED,
+            "settings": {k: v for k, v in _dc.asdict(settings).items()
+                         if v != getattr(type(settings)(), k)},
+            "solve_ms": round(dt * 1e3, 2),
+            "solved": int(((status == 2) | (status == 3)).sum()),
+            "iters_p50": float(np.median(iters)),
+            "iters_max": int(iters.max()),
+            **result,
+        })
+        log(f"headline record appended to {rec_path}")
+    except Exception as e:  # artifact failure must not kill the bench line
+        log(f"headline record NOT written: {type(e).__name__}: {e}")
+
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

@@ -66,8 +66,7 @@ def main(argv=None):
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
-    from quadraticprogramsolver_tpu.ops.fused_factor import (
-        fused_factor_solve, pack_rhs)
+    from quadraticprogramsolver_tpu.ops.fused_factor import fused_factor_solve
     from quadraticprogramsolver_tpu.ops.linalg import add_scaled_identity
     from quadraticprogramsolver_tpu.ops.spd_kernels import (
         gj_solve_sweep, pallas_spd_inverse_unrolled)
@@ -118,22 +117,24 @@ def main(argv=None):
 
         # --- phase 2: fused in-place-slab variants (build kernel + one
         # in-place GJ level kernel per level; pivots in the multi-lane
-        # sweep). pack_rhs is jitted INTO the timed fn — like current_path's
-        # R build — so the 2.4 GB R is an XLA intermediate freed after the
-        # build kernel, not a live buffer held across the levels (holding it
-        # puts peak HBM over the top at B=3072: P 3 + A 1.5 + R 2.4 + slab
-        # 5.6 GB + level temps).
+        # sweep). Round 4: the build kernel assembles [A' q] in VMEM — R is
+        # never in HBM at all (the old pack_rhs intermediate cost 2.4 GB at
+        # B=3072 and made B=4096 impossible). at_via_dot probes the MXU
+        # transpose fallback vs Mosaic's native 2-D transpose.
         # dot=high is a measured dead end: Mosaic rejects Precision.HIGH
         # inside kernels (NotImplementedError: Unsupported dot precision).
-        for pivot_lanes, dprec in ((8, "highest"), (16, "highest"),
-                                   (32, "highest")):
-            name = f"fused slab (pivot_lanes={pivot_lanes}, dot={dprec})"
+        for pivot_lanes, dprec, via_dot in (
+                (8, "highest", False), (8, "highest", True),
+                (16, "highest", False), (32, "highest", False)):
+            name = (f"fused slab (pivot_lanes={pivot_lanes}, dot={dprec}"
+                    f"{', at_via_dot' if via_dot else ''})")
             dt_f, Xf = time_fn(
                 name,
-                jax.jit(lambda P, A, q, rho, pl_=pivot_lanes, dp=dprec:
-                        fused_factor_solve(P, pack_rhs(A, q), rho,
+                jax.jit(lambda P, A, q, rho, pl_=pivot_lanes, dp=dprec,
+                        vd=via_dot:
+                        fused_factor_solve(P, A, q, rho,
                                            sigma=sigma, pivot_lanes=pl_,
-                                           dot_precision=dp)),
+                                           dot_precision=dp, at_via_dot=vd)),
                 P, A, q, rho)
             if Xf is not None and X64 is not None:
                 d = np.abs(np.asarray(Xf[:nsub, :, :k_rhs]) - X64).max()

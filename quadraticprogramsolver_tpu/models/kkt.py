@@ -132,15 +132,18 @@ def cholesky_init(qp: QP, rho, sigma, settings: Settings):
         # Fused slab factor (ops/fused_factor.py): build + GJ levels as
         # Pallas kernels, slab updated in place. Dots are pinned to HIGHEST
         # inside the kernels, so factor_precision does not apply here.
-        from ..ops.fused_factor import fused_factor_solve, pack_rhs
+        from ..ops.fused_factor import fused_factor_solve
 
-        R = pack_rhs(jnp.broadcast_to(qp.A, qp.batch_shape + (qp.m, qp.n)),
-                     jnp.broadcast_to(qp.q, qp.batch_shape + (qp.n,)))
-        X = fused_factor_solve(
+        # The kernel returns the full slab; slice ONLY G and g from it (a
+        # full-X slice is a 3 GiB copy at B=4096 that blows the 16 GiB HBM
+        # budget — see fused_factor_solve's docstring).
+        S = fused_factor_solve(
             jnp.broadcast_to(qp.P, qp.batch_shape + (qp.n, qp.n)),
-            R, rho_row, sigma=float(settings.sigma_for(qp.dtype)),
+            jnp.broadcast_to(qp.A, qp.batch_shape + (qp.m, qp.n)),
+            jnp.broadcast_to(qp.q, qp.batch_shape + (qp.n,)),
+            rho_row, sigma=float(settings.sigma_for(qp.dtype)),
             interpret=jax.default_backend() != "tpu")
-        return {"G": X[..., :, : qp.m], "g": X[..., :, qp.m]}
+        return {"G": S[..., :, : qp.m], "g": S[..., :, qp.m]}
     # The factor path may run at a lower matmul precision than the rest of
     # the solve (Settings.factor_precision): M^{-1} only needs to be a good
     # preconditioner when refinement is on, and the refinement residual is

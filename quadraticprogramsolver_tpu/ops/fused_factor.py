@@ -27,9 +27,11 @@ Design (fourth iteration; three measured dead ends below):
   updated live region is written back to offset 0 of the SAME buffer
   (``input_output_aliases``), and the dead pivot columns at the right are
   simply never touched again. Peak HBM: one slab.
-* **Level-0 build kernel**: seeds S = [R | M] straight from P and
-  R = [A' q], computing the gram A' diag(rho) A on the MXU in VMEM (the
-  separate XLA einsum costs 51 ms, mostly the extra M round trip).
+* **Level-0 build kernel**: seeds S = [R | M] straight from P, A and q,
+  computing the transpose A', the q column, and the gram A' diag(rho) A
+  entirely in VMEM (the separate XLA einsum costs 51 ms, mostly the extra
+  M round trip; the round-3 version also materialized R = [A' q] in HBM —
+  3 GiB at B=4096, the difference between that fleet fitting and not).
 * **Pivot inverses stay in the standalone multi-lane sweep kernel**
   (ops/spd_kernels.pallas_spd_inverse_unrolled): its per-lane-step cost
   depends critically on lane stacking (measured 57 ns/lane-step at lanes=8
@@ -74,14 +76,37 @@ def _dot(a, b, dims=((1,), (0,)), precision=_HI):
         precision=precision)
 
 
-def _build_slab_kernel(P_ref, R_ref, rho_ref, S_ref, *, n, m, k_pad, sigma):
-    """S = [R | P + sigma*I + A' diag(rho) A] per lane (grid over lanes)."""
+def _build_slab_kernel(P_ref, A_ref, q_ref, rho_ref, S_ref, *, n, m, k_pad,
+                       sigma, at_via_dot):
+    """S = [A' | q | 0-pad | P + sigma*I + A' diag(rho) A] per lane, from A.
+
+    Round-4 change: the packed RHS R = [A' q] is never materialized in HBM
+    (3 GiB at B=4096, n=512 — the difference between the 4096-lane fleet
+    fitting in 16 GiB HBM and not). The transpose, the q column, and the
+    gram are all computed in VMEM from the same resident A block.
+
+    ``at_via_dot``: compute A' as A'·I on the MXU (dot_general contracting
+    A's row axis with an identity — exact in f32: each output sums exactly
+    one nonzero product) instead of a layout transpose, for backends whose
+    Mosaic lacks 2-D transpose support.
+    """
     f32 = jnp.float32
     eye = (jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
            == jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)).astype(f32)
-    At = R_ref[0, :, :m]                            # (n, m)
+    A = A_ref[0]                                    # (m, n)
+    if at_via_dot:
+        eye_m = (jax.lax.broadcasted_iota(jnp.int32, (m, m), 0)
+                 == jax.lax.broadcasted_iota(jnp.int32, (m, m), 1)).astype(f32)
+        At = _dot(A, eye_m, ((0,), (0,)))           # (n, m) = A'·I
+    else:
+        At = jnp.swapaxes(A, 0, 1)                  # (n, m)
     gram = _dot(At * rho_ref[0], At, ((1,), (1,)))  # A' diag(rho) A
-    S_ref[0, :, :k_pad] = R_ref[0]
+    # q as a column: row-sum of diag(q) = eye_n * q_row (Mosaic-safe way to
+    # turn the (1, n) row into an (n, 1) column without a vector transpose).
+    q_col = jnp.sum(eye * q_ref[0], axis=1, keepdims=True)       # (n, 1)
+    pad_cols = jax.lax.broadcasted_iota(jnp.int32, (n, k_pad - m), 1)
+    S_ref[0, :, :m] = At
+    S_ref[0, :, m:k_pad] = jnp.where(pad_cols == 0, q_col, 0.0)
     S_ref[0, :, k_pad:] = P_ref[0] + sigma * eye + gram
 
 
@@ -108,16 +133,20 @@ def _slab_level_kernel(S_ref, Dinv_ref, out_ref, *, n, j, w_out, prec):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("sigma", "pivot_lanes", "dot_precision", "interpret"))
-def fused_factor_solve(P, R, rho_row, *, sigma: float, pivot_lanes: int = 8,
+    static_argnames=("sigma", "pivot_lanes", "dot_precision", "at_via_dot",
+                     "interpret"))
+def fused_factor_solve(P, A, q, rho_row, *, sigma: float,
+                       pivot_lanes: int = 8,
                        dot_precision: str = "highest",
+                       at_via_dot: bool = False,
                        interpret: bool = False):
-    """X = (P + sigma*I + A' diag(rho_row) A)^{-1} R via in-place slab levels.
+    """Slab S with S[..., :k_pad] = (P + sigma*I + A' diag(rho) A)^{-1} [A' q].
 
     Args:
       P: (B, n, n) f32, symmetric (positive definite with the sigma shift).
-      R: (B, n, k_pad) f32 — packed RHS whose first m columns are A' (they
-         double as the gram operand; see :func:`pack_rhs`).
+      A: (B, m, n) f32 constraint matrix; q: (B, n) linear term. The RHS
+         R = [A' | q | 0-pad] (k_pad = m + 128 columns) is assembled inside
+         the build kernel — never materialized in HBM.
       rho_row: (B, m) per-constraint penalties.
       dot_precision: MXU passes for the LEVEL-update dots ("highest" = full
          f32 6-pass, "high" = bf16x3). The build gram and the pivot inverses
@@ -126,16 +155,19 @@ def fused_factor_solve(P, R, rho_row, *, sigma: float, pivot_lanes: int = 8,
          (NotImplementedError, round-3 backend); the knob is kept for when
          the backend learns it.
     Returns:
-      X: (B, n, k_pad) f32 with M X = R.
+      The full (B, n, k_pad + n) slab, whose first k_pad columns are the
+      solve X = M^{-1}[A' | q | 0]; columns beyond k_pad are dead pivot
+      state. Returning the slab (instead of slicing X here) lets callers
+      slice exactly the G = X[:, :m] and g = X[:, m] they need — a full-X
+      slice is a 3 GiB copy at B=4096 that pushes peak HBM over 16 GiB.
     """
     from .spd_kernels import pallas_spd_inverse_unrolled
 
     B, n = P.shape[0], P.shape[-1]
-    k_pad = R.shape[-1]
     m = rho_row.shape[-1]
-    if n % NB or k_pad % NB or m % NB:
-        raise ValueError(f"n, k_pad, m must be multiples of {NB}; "
-                         f"got {(n, k_pad, m)}")
+    k_pad = m + NB
+    if n % NB or m % NB:
+        raise ValueError(f"n, m must be multiples of {NB}; got {(n, m)}")
     f32 = jnp.float32
     wid = k_pad + n
     prec = {"highest": jax.lax.Precision.HIGHEST,
@@ -146,13 +178,15 @@ def fused_factor_solve(P, R, rho_row, *, sigma: float, pivot_lanes: int = 8,
 
     S = pl.pallas_call(
         functools.partial(_build_slab_kernel, n=n, m=m, k_pad=k_pad,
-                          sigma=sigma),
+                          sigma=sigma, at_via_dot=at_via_dot),
         grid=(B,),
-        in_specs=[lane_mat(n, n), lane_mat(n, k_pad), lane_mat(1, m)],
+        in_specs=[lane_mat(n, n), lane_mat(m, n), lane_mat(1, n),
+                  lane_mat(1, m)],
         out_specs=lane_mat(n, wid),
         out_shape=jax.ShapeDtypeStruct((B, n, wid), f32),
         interpret=interpret,
-    )(P.astype(f32), R.astype(f32), rho_row.astype(f32)[:, None, :])
+    )(P.astype(f32), A.astype(f32), q.astype(f32)[:, None, :],
+      rho_row.astype(f32)[:, None, :])
 
     for j in range(n // NB - 1, -1, -1):
         # The pivot-block slice for the inverse sweep is the only state read
@@ -172,12 +206,4 @@ def fused_factor_solve(P, R, rho_row, *, sigma: float, pivot_lanes: int = 8,
             input_output_aliases={0: 0},
             interpret=interpret,
         )(S, Dinv)
-    return jax.lax.slice(S, (0, 0, 0), (B, n, k_pad))
-
-
-def pack_rhs(A, q):
-    """R = [A' | q | 0-pad] (B, n, m + 128) for :func:`fused_factor_solve`."""
-    At = jnp.swapaxes(A, -1, -2)
-    cols = jnp.zeros(At.shape[:-1] + (NB,), At.dtype)
-    cols = cols.at[..., 0].set(q)
-    return jnp.concatenate([At, cols], axis=-1)
+    return S

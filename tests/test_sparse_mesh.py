@@ -120,3 +120,73 @@ def test_mesh_infeasible_flagged():
     sq = shard_sparse_qp(Pm, q, A, l, u, 2, dtype=np.float64)
     sol = solve_sparse_mesh(sq, st, mesh, m_orig=2)
     assert int(sol.info.status) == qps.Status.PRIMAL_INFEASIBLE
+
+
+def test_mesh_anderson_matches_single_device():
+    """Anderson acceleration on the mesh (split history, psum'd Gram) must
+    take the identical accelerated trajectory as the single-device SparseQP
+    solve (VERDICT r3 missing #2)."""
+    Pm, q, A, l, u = _sparse_problem(seed=5)
+    st = dataclasses.replace(SETTINGS, anderson_memory=8)
+    single = make_sparse_qp(Pm, q, A, l, u, dtype=np.float64)
+    ref = solve_jit(single, st)
+
+    mesh = Mesh(np.asarray(jax.devices()[:4]), ("rows",))
+    sq = shard_sparse_qp(Pm, q, A, l, u, 4, dtype=np.float64)
+    sol = solve_sparse_mesh(sq, st, mesh, m_orig=A.shape[0])
+    assert int(sol.info.status) == int(ref.info.status)
+    assert int(sol.info.iterations) == int(ref.info.iterations)
+    np.testing.assert_allclose(np.asarray(sol.x), np.asarray(ref.x),
+                               rtol=0, atol=1e-7)
+
+
+def test_mesh_polish_matches_single_device():
+    """Distributed matrix-free MINRES polish (psum'd Lanczos scalars) must
+    reproduce the single-device polished solution and improve the KKT
+    error (reference m:289-325 acceptance discipline)."""
+    Pm, q, A, l, u = _sparse_problem(seed=7)
+    # A looser solve so polish has something to clean up.
+    st = dataclasses.replace(SETTINGS, eps_abs=1e-6, eps_rel=1e-6,
+                             polish_iterations=5)
+    st_plain = dataclasses.replace(st, polish_iterations=0)
+    single = make_sparse_qp(Pm, q, A, l, u, dtype=np.float64)
+    ref = solve_jit(single, st)
+
+    mesh = Mesh(np.asarray(jax.devices()[:4]), ("rows",))
+    sq = shard_sparse_qp(Pm, q, A, l, u, 4, dtype=np.float64)
+    sol = solve_sparse_mesh(sq, st, mesh, m_orig=A.shape[0])
+    plain = solve_sparse_mesh(sq, st_plain, mesh, m_orig=A.shape[0])
+    assert int(sol.info.status) == int(ref.info.status)
+    assert int(sol.info.iterations) == int(ref.info.iterations)
+    np.testing.assert_allclose(np.asarray(sol.x), np.asarray(ref.x),
+                               rtol=0, atol=1e-7)
+    rep_polished = kkt_optimality(Pm.toarray(), q, A.toarray(), l, u,
+                                  np.asarray(sol.x), np.asarray(sol.z),
+                                  np.asarray(sol.y))
+    rep_plain = kkt_optimality(Pm.toarray(), q, A.toarray(), l, u,
+                               np.asarray(plain.x), np.asarray(plain.z),
+                               np.asarray(plain.y))
+    assert rep_polished.res_dual <= rep_plain.res_dual
+    assert rep_polished.optimal(1e-8), rep_polished
+
+
+def test_mesh_vector_rho_matches_single_device():
+    """Vector-rho (rho_eq_scale on equality rows) through the mesh path:
+    same iterates as the single-device solve, including the weighted
+    Jacobi-PCG diagonal."""
+    Pm, q, A, l, u = _sparse_problem(seed=9)
+    # Make a block of rows equalities so the weights actually differ.
+    l = l.copy()
+    l[:40] = u[:40] = 0.3 * np.sign(u[:40])
+    st = dataclasses.replace(SETTINGS, rho_eq_scale=10.0)
+    single = make_sparse_qp(Pm, q, A, l, u, dtype=np.float64)
+    ref = solve_jit(single, st)
+    assert int(ref.info.status) in (2, 3)
+
+    mesh = Mesh(np.asarray(jax.devices()[:4]), ("rows",))
+    sq = shard_sparse_qp(Pm, q, A, l, u, 4, dtype=np.float64)
+    sol = solve_sparse_mesh(sq, st, mesh, m_orig=A.shape[0])
+    assert int(sol.info.status) == int(ref.info.status)
+    assert int(sol.info.iterations) == int(ref.info.iterations)
+    np.testing.assert_allclose(np.asarray(sol.x), np.asarray(ref.x),
+                               rtol=0, atol=1e-7)
