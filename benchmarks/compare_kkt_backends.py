@@ -138,9 +138,15 @@ def main(argv=None):
     print(f"\nill-conditioned crossover (B={args.batch}, n={args.sizes[-1]}):")
     print(f"{'family':>12} {'backend':>11} {'best_ms':>9} {'p50 iters':>9} "
           f"{'solved':>7}")
+    # HUBER's paper-default ratio is m ~ 100n (num_elements=256 implies a
+    # 77k-variable QP — a dense 64-lane batch of those is ~1.5 TB and got
+    # this script OOM-killed twice); cap its constraints like the test
+    # suite's SMALL_M does.
+    capped = {qps.ProblemClass.HUBER: 60}
     for family in (qps.ProblemClass.PORTFOLIO, qps.ProblemClass.HUBER,
                    qps.ProblemClass.RANDOM_QP):
         fleet = qps.generate_batch(family, args.batch, args.sizes[-1],
+                                   capped.get(family, 0),
                                    seed=1234, dtype=np.float32)
         for kind in (KKTBackendKind.CG, KKTBackendKind.KKT_MINRES):
             st = qps.Settings(max_iterations=4000, eps_abs=args.eps,

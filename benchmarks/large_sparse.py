@@ -57,20 +57,22 @@ def main(argv=None):
 
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    if args.mesh and os.environ.get("JAX_PLATFORMS", "") == "cpu":
-        # Caller asked for the CPU-mesh exercise. jax is pre-imported with
-        # the axon platform baked into the loaded config, so the env vars
-        # alone don't take — force the switch BEFORE any backend initializes
-        # (the device-count flag is read at CPU-backend init).
+    if os.environ.get("JAX_PLATFORMS", "") == "cpu":
+        # Caller asked for the CPU exercise (with or without --mesh — the
+        # single-device CPU run is the baseline for the mesh-overhead
+        # comparison). jax is pre-imported with the axon platform baked into
+        # the loaded config, so the env vars alone don't take — force the
+        # switch BEFORE any backend initializes (the device-count flag is
+        # read at CPU-backend init).
         os.environ["XLA_FLAGS"] = (
             os.environ.get("XLA_FLAGS", "")
-            + f" --xla_force_host_platform_device_count={args.mesh}")
+            + f" --xla_force_host_platform_device_count={max(args.mesh, 1)}")
         jax.config.update("jax_platforms", "cpu")
         from jax._src import xla_bridge as xb
 
         xb._backend_factories.pop("axon", None)
-        print(f"(JAX_PLATFORMS=cpu: running on {args.mesh} virtual CPU "
-              f"devices)")
+        print(f"(JAX_PLATFORMS=cpu: running on {max(args.mesh, 1)} virtual "
+              f"CPU devices)")
 
     import quadraticprogramsolver_tpu as qps
     from quadraticprogramsolver_tpu.problems.generator import generate_large_sparse_qp

