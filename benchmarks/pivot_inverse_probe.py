@@ -99,6 +99,15 @@ def main(argv=None):
              D, lanes=L, variant="v3")))
         for L in (8, 32)
     ] + [
+        # Round-4 rank-q analytic composition: 128/q fused full passes.
+        # If the ~0.25 us/step pivot floor is per PASS (scheduler-bound,
+        # the round-3 endgame hypothesis), rq divides it by q at the cost
+        # of q*(q-1) tiny vector FMAs per group.
+        (f"pallas r{q} lanes={L}",
+         jax.jit(lambda D, L=L, q=q: pallas_spd_inverse_unrolled(
+             D, lanes=L, variant=f"r{q}")))
+        for q in (2, 4, 8) for L in (8,)
+    ] + [
         (f"schur64 (2x paired-64 sweeps) lanes={L}",
          jax.jit(lambda D, L=L: spd_inverse_128_schur(D, lanes=L)))
         for L in (8, 16)

@@ -171,6 +171,13 @@ class Settings:
     #: backend, float32, one batch axis, and n/m multiples of 128; silently
     #: falls back to the XLA build + gj_solve_sweep otherwise.
     fused_factor: bool = False
+    #: Pivot-sweep kernel variant for the fused factor's 128-block SPD
+    #: inverses (ops/spd_kernels.pallas_spd_inverse_unrolled): "v3" (the
+    #: round-3 default), or "r2"/"r4"/"r8" — rank-q analytic compositions
+    #: that run 128/q fused full passes per sweep (round-4 candidates for
+    #: the measured per-pass issue floor; see benchmarks/
+    #: pivot_inverse_probe.py for on-chip numbers before switching).
+    pivot_variant: str = "v3"
     #: Per-constraint penalty weighting: equality rows (l == u) get
     #: rho * rho_eq_scale (OSQP's vector-rho scheme — the reference's To-Do
     #: #1 "paramRho as a matrix"). 1.0 reproduces the reference's scalar rho.
@@ -275,6 +282,18 @@ class ProxQPSettings:
     #: models/anderson.py; 0 disables).
     anderson_memory: int = 0
     anderson_reg: float = 1e-8
+    #: Exact (non-proximal, sigma-dropped) ALM with the cached columns
+    #: {Ga = M^{-1}A', Gc = M^{-1}C', g = M^{-1}q} instead of the explicit
+    #: (n, n) M^{-1} — the prox-ALM analogue of Settings.sigma_free_rhs.
+    #: The x-update becomes Ga(rho b - y) + Gc(rho(d-s) - z) - g: fewer
+    #: dots per iteration AND the per-lane cache shrinks from n^2 to
+    #: (n_eq + n_ineq) n floats, which is what lets B=4096 n=512 fleets fit
+    #: 16 GiB HBM (the M^{-1} path OOMs at B=3072). Requires a dense
+    #: problem, kkt_refinement_steps == 0 (refinement needs M^{-1}), and
+    #: M = P + rho(A'A + C'C) invertible WITHOUT the sigma shift (P with a
+    #: PD part). On TPU the factor runs as the in-place slab kernels
+    #: (ops/fused_factor.py) with [A' C' q] assembled in VMEM.
+    sigma_free_rhs: bool = False
     #: Detect primal/dual infeasibility from iterate-difference Farkas
     #: certificates in the split form (Ax=b, Cx<=d): primal-infeasible when
     #: the diverging dual direction (dy, dz) satisfies A'dy + C'dz ~ 0,

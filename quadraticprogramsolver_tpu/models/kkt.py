@@ -142,6 +142,7 @@ def cholesky_init(qp: QP, rho, sigma, settings: Settings):
             jnp.broadcast_to(qp.A, qp.batch_shape + (qp.m, qp.n)),
             jnp.broadcast_to(qp.q, qp.batch_shape + (qp.n,)),
             rho_row, sigma=float(settings.sigma_for(qp.dtype)),
+            pivot_variant=settings.pivot_variant,
             interpret=jax.default_backend() != "tpu")
         return {"G": S[..., :, : qp.m], "g": S[..., :, qp.m]}
     # The factor path may run at a lower matmul precision than the rest of

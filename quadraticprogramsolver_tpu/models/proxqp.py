@@ -140,6 +140,62 @@ def _build_M_inv(prob: ProxQPProblem, rho, sigma):
     return spd_inverse(add_scaled_identity(M, sigma))
 
 
+def _build_sigma_free_cache(prob, rho, settings):
+    """{Ga, Gc, g} = M^{-1}[A' C' q] with M = P + rho(A'A + C'C) — the
+    prox-ALM analogue of kkt.cholesky_init's sigma-free branch (see
+    ProxQPSettings.sigma_free_rhs). The proximal sigma is DROPPED entirely
+    (exact ALM): unlike the OSQP family's 1e-6, prox-ALM's default sigma
+    (1e-2) is a real perturbation of P, so solving against P + sigma*I
+    would bias the fixed point measurably. M must be invertible on its
+    own (P with a PD part).
+
+    On TPU (f32, one batch axis, 128-multiple dims) the factor runs as the
+    in-place slab kernels with [A' C' q] assembled in VMEM
+    (ops/fused_factor.py, A and C passed as separate blocks — their
+    concatenation is never materialized); anywhere else it is the XLA
+    build + no-inverse multi-RHS sweep, exactly like the ADMM path.
+    """
+    import jax
+
+    n, me, mi = prob.n, prob.n_eq, prob.n_ineq
+    batch = prob.batch_shape
+    rho_row = jnp.broadcast_to(rho[..., None], batch + (me + mi,))
+    fused_ok = (
+        prob.dtype == jnp.float32 and len(batch) == 1
+        and n % 128 == 0 and me % 128 == 0 and mi % 128 == 0
+        and me > 0 and mi > 0)
+    if fused_ok:
+        from ..ops.fused_factor import fused_factor_solve
+
+        # at_via_dot: Mosaic rejects the NATIVE transpose layout for the
+        # 128-row blocks here ("Invalid input layout" feeding the gram dot,
+        # measured on-chip round 4 — the ADMM path's single 256-row block
+        # is fine); the MXU identity-contraction transpose costs ~nothing
+        # and always lowers.
+        S = fused_factor_solve(
+            jnp.broadcast_to(prob.P, batch + (n, n)),
+            (jnp.broadcast_to(prob.A, batch + (me, n)),
+             jnp.broadcast_to(prob.C, batch + (mi, n))),
+            jnp.broadcast_to(prob.q, batch + (n,)),
+            rho_row, sigma=0.0, at_via_dot=True,
+            interpret=jax.default_backend() != "tpu")
+        return {"Ga": S[..., :, :me], "Gc": S[..., :, me:me + mi],
+                "g": S[..., :, me + mi]}
+    from ..ops.linalg import spd_solve
+
+    K = (jnp.einsum("...ki,...kj->...ij", prob.A, prob.A)
+         + jnp.einsum("...ki,...kj->...ij", prob.C, prob.C))
+    M = prob.P + rho[..., None, None] * K
+    At = jnp.broadcast_to(jnp.swapaxes(prob.A, -1, -2), batch + (n, me))
+    Ct = jnp.broadcast_to(jnp.swapaxes(prob.C, -1, -2), batch + (n, mi))
+    R = jnp.concatenate(
+        [At, Ct, jnp.broadcast_to(prob.q, batch + (n,))[..., :, None]],
+        axis=-1)
+    X = spd_solve(M, R)
+    return {"Ga": X[..., :, :me], "Gc": X[..., :, me:me + mi],
+            "g": X[..., :, me + mi]}
+
+
 def _apply_M(prob, rho, sigma, v):
     """Matrix-free M @ v through the operator protocol."""
     return (
@@ -218,14 +274,26 @@ def _solve_impl(prob, settings: ProxQPSettings, init,
 
     rho = (jnp.full(batch, settings.rho, dt) if rho0 is None
            else jnp.broadcast_to(jnp.asarray(rho0, dt), batch))
-    # "factor": cached explicit inverse (dense) or the Jacobi diagonal
-    # (matrix-free CG) — both refreshed only on rho updates.
-    if prob.is_dense:
+    sigma_free = settings.sigma_free_rhs
+    if sigma_free:
+        if not prob.is_dense:
+            raise ValueError("sigma_free_rhs needs a dense ProxQP problem")
+        if settings.kkt_refinement_steps:
+            raise ValueError("sigma_free_rhs excludes kkt_refinement_steps "
+                             "(refinement needs the explicit M^{-1})")
+    # "factor": cached explicit inverse (dense), the {Ga, Gc, g} column
+    # cache (sigma_free), or the Jacobi diagonal (matrix-free CG) —
+    # refreshed only on rho updates.
+    if sigma_free:
+        factor = _build_sigma_free_cache(prob, rho, settings)
+    elif prob.is_dense:
         factor = _build_M_inv(prob, rho, sigma)
     else:
         factor = _jacobi_inv(prob, rho, sigma)
 
     def refresh_factor(rho):
+        if sigma_free:
+            return _build_sigma_free_cache(prob, rho, settings)
         return (_build_M_inv(prob, rho, sigma) if prob.is_dense
                 else _jacobi_inv(prob, rho, sigma))
 
@@ -273,10 +341,20 @@ def _solve_impl(prob, settings: ProxQPSettings, init,
 
         def one_iter(_, state):
             x, s, y, z = state
-            r = (-prob.q + sigma * x
-                 + prob.matvec_At(rho_col * prob.b - y)
-                 + prob.matvec_Ct(rho_col * (prob.d - s) - z))
-            x_new = ldiv(factor, rho, r, x)
+            if sigma_free:
+                # Exact-ALM x-update from the column cache: no sigma*x, no
+                # q (it lives in g) — see ProxQPSettings.sigma_free_rhs.
+                x_new = (
+                    jnp.einsum("...k,...nk->...n", rho_col * prob.b - y,
+                               factor["Ga"])
+                    + jnp.einsum("...k,...nk->...n",
+                                 rho_col * (prob.d - s) - z, factor["Gc"])
+                    - factor["g"])
+            else:
+                r = (-prob.q + sigma * x
+                     + prob.matvec_At(rho_col * prob.b - y)
+                     + prob.matvec_Ct(rho_col * (prob.d - s) - z))
+                x_new = ldiv(factor, rho, r, x)
             Cx = prob.matvec_C(x_new)
             s_new = jnp.maximum(prob.d - Cx - z / rho_col, 0.0)
             y_new = y + rho_col * (prob.matvec_A(x_new) - prob.b)
@@ -292,10 +370,14 @@ def _solve_impl(prob, settings: ProxQPSettings, init,
             from ..ops.fused_proxqp import fused_proxqp_chunk
 
             x, s, y, z = fused_proxqp_chunk(
-                factor, prob.A, prob.C, prob.P, prob.q, prob.b, prob.d,
+                factor if not sigma_free else factor["Ga"],
+                prob.A, prob.C, prob.P, prob.q, prob.b, prob.d,
                 x, s, y, z, rho, active,
                 K=settings.check_interval, sigma=settings.sigma,
                 refine=settings.kkt_refinement_steps,
+                sigma_free=sigma_free,
+                Gc=factor["Gc"] if sigma_free else None,
+                g=factor["g"] if sigma_free else None,
                 interpret=jax.default_backend() != "tpu")
         else:
             x, s, y, z = jax.lax.fori_loop(

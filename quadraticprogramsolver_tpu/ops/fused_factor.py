@@ -63,6 +63,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -76,14 +77,22 @@ def _dot(a, b, dims=((1,), (0,)), precision=_HI):
         precision=precision)
 
 
-def _build_slab_kernel(P_ref, A_ref, q_ref, rho_ref, S_ref, *, n, m, k_pad,
-                       sigma, at_via_dot):
-    """S = [A' | q | 0-pad | P + sigma*I + A' diag(rho) A] per lane, from A.
+def _build_slab_kernel(P_ref, *refs, n, ms, k_pad, sigma, at_via_dot):
+    """S = [A_0' | A_1' | ... | q | 0-pad | P + sigma*I + sum_i A_i' W_i A_i]
+    per lane, built straight from the row blocks.
 
     Round-4 change: the packed RHS R = [A' q] is never materialized in HBM
     (3 GiB at B=4096, n=512 — the difference between the 4096-lane fleet
-    fitting in 16 GiB HBM and not). The transpose, the q column, and the
-    gram are all computed in VMEM from the same resident A block.
+    fitting in 16 GiB HBM and not). The transposes, the q column, and the
+    grams are all computed in VMEM from the resident row blocks. Multiple
+    blocks (``ms`` = their row counts) serve the prox-ALM form, whose
+    normal matrix is P + rho(A'A + C'C) — passing (A, C) separately also
+    avoids materializing their (B, me+mi, n) concatenation.
+
+    ``refs`` = (*A_refs, q_ref, *rho_refs, S_ref); one (1, 1, m_i) rho ref
+    per block — separate operands, because an in-kernel lane-offset slice
+    of a packed (1, sum(ms)) row gives Mosaic an operand layout its dot
+    lowering rejects ("Invalid input layout", measured on-chip round 4).
 
     ``at_via_dot``: compute A' as A'·I on the MXU (dot_general contracting
     A's row axis with an identity — exact in f32: each output sums exactly
@@ -91,23 +100,32 @@ def _build_slab_kernel(P_ref, A_ref, q_ref, rho_ref, S_ref, *, n, m, k_pad,
     Mosaic lacks 2-D transpose support.
     """
     f32 = jnp.float32
+    A_refs = refs[: len(ms)]
+    q_ref = refs[len(ms)]
+    rho_refs = refs[len(ms) + 1: 2 * len(ms) + 1]
+    S_ref = refs[-1]
     eye = (jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
            == jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)).astype(f32)
-    A = A_ref[0]                                    # (m, n)
-    if at_via_dot:
-        eye_m = (jax.lax.broadcasted_iota(jnp.int32, (m, m), 0)
-                 == jax.lax.broadcasted_iota(jnp.int32, (m, m), 1)).astype(f32)
-        At = _dot(A, eye_m, ((0,), (0,)))           # (n, m) = A'·I
-    else:
-        At = jnp.swapaxes(A, 0, 1)                  # (n, m)
-    gram = _dot(At * rho_ref[0], At, ((1,), (1,)))  # A' diag(rho) A
+    gram = sigma * eye
+    off = 0
+    for A_ref, rho_ref, m in zip(A_refs, rho_refs, ms):
+        A = A_ref[0]                                # (m, n)
+        if at_via_dot:
+            eye_m = (jax.lax.broadcasted_iota(jnp.int32, (m, m), 0)
+                     == jax.lax.broadcasted_iota(jnp.int32, (m, m), 1)
+                     ).astype(f32)
+            At = _dot(A, eye_m, ((0,), (0,)))       # (n, m) = A'·I
+        else:
+            At = jnp.swapaxes(A, 0, 1)              # (n, m)
+        gram = gram + _dot(At * rho_ref[0], At, ((1,), (1,)))
+        S_ref[0, :, off:off + m] = At
+        off += m
     # q as a column: row-sum of diag(q) = eye_n * q_row (Mosaic-safe way to
     # turn the (1, n) row into an (n, 1) column without a vector transpose).
     q_col = jnp.sum(eye * q_ref[0], axis=1, keepdims=True)       # (n, 1)
-    pad_cols = jax.lax.broadcasted_iota(jnp.int32, (n, k_pad - m), 1)
-    S_ref[0, :, :m] = At
-    S_ref[0, :, m:k_pad] = jnp.where(pad_cols == 0, q_col, 0.0)
-    S_ref[0, :, k_pad:] = P_ref[0] + sigma * eye + gram
+    pad_cols = jax.lax.broadcasted_iota(jnp.int32, (n, k_pad - off), 1)
+    S_ref[0, :, off:k_pad] = jnp.where(pad_cols == 0, q_col, 0.0)
+    S_ref[0, :, k_pad:] = P_ref[0] + gram
 
 
 def _slab_level_kernel(S_ref, Dinv_ref, out_ref, *, n, j, w_out, prec):
@@ -133,10 +151,11 @@ def _slab_level_kernel(S_ref, Dinv_ref, out_ref, *, n, j, w_out, prec):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("sigma", "pivot_lanes", "dot_precision", "at_via_dot",
-                     "interpret"))
+    static_argnames=("sigma", "pivot_lanes", "pivot_variant",
+                     "dot_precision", "at_via_dot", "interpret"))
 def fused_factor_solve(P, A, q, rho_row, *, sigma: float,
                        pivot_lanes: int = 8,
+                       pivot_variant: str = "v3",
                        dot_precision: str = "highest",
                        at_via_dot: bool = False,
                        interpret: bool = False):
@@ -144,10 +163,13 @@ def fused_factor_solve(P, A, q, rho_row, *, sigma: float,
 
     Args:
       P: (B, n, n) f32, symmetric (positive definite with the sigma shift).
-      A: (B, m, n) f32 constraint matrix; q: (B, n) linear term. The RHS
-         R = [A' | q | 0-pad] (k_pad = m + 128 columns) is assembled inside
+      A: (B, m, n) f32 constraint matrix — or a TUPLE of row blocks
+         ((B, m_0, n), (B, m_1, n), ...) treated as their vertical stack
+         without ever materializing the concatenation (the prox-ALM form's
+         (A, C) pair). q: (B, n) linear term. The RHS R = [A_0' A_1' ... |
+         q | 0-pad] (k_pad = sum(m_i) + 128 columns) is assembled inside
          the build kernel — never materialized in HBM.
-      rho_row: (B, m) per-constraint penalties.
+      rho_row: (B, sum(m_i)) per-constraint penalties, block order.
       dot_precision: MXU passes for the LEVEL-update dots ("highest" = full
          f32 6-pass, "high" = bf16x3). The build gram and the pivot inverses
          always run at HIGHEST (they set the conditioning). NOTE: "high" is
@@ -163,11 +185,16 @@ def fused_factor_solve(P, A, q, rho_row, *, sigma: float,
     """
     from .spd_kernels import pallas_spd_inverse_unrolled
 
+    A_blocks = A if isinstance(A, (tuple, list)) else (A,)
     B, n = P.shape[0], P.shape[-1]
+    ms = tuple(a.shape[-2] for a in A_blocks)
     m = rho_row.shape[-1]
+    if m != sum(ms):
+        raise ValueError(f"rho_row has {m} rows, blocks sum to {sum(ms)}")
     k_pad = m + NB
-    if n % NB or m % NB:
-        raise ValueError(f"n, m must be multiples of {NB}; got {(n, m)}")
+    if n % NB or any(mi % NB for mi in ms):
+        raise ValueError(f"n and every block's rows must be multiples of "
+                         f"{NB}; got {(n, ms)}")
     f32 = jnp.float32
     wid = k_pad + n
     prec = {"highest": jax.lax.Precision.HIGHEST,
@@ -177,16 +204,18 @@ def fused_factor_solve(P, A, q, rho_row, *, sigma: float,
                                          memory_space=pltpu.VMEM)
 
     S = pl.pallas_call(
-        functools.partial(_build_slab_kernel, n=n, m=m, k_pad=k_pad,
+        functools.partial(_build_slab_kernel, n=n, ms=ms, k_pad=k_pad,
                           sigma=sigma, at_via_dot=at_via_dot),
         grid=(B,),
-        in_specs=[lane_mat(n, n), lane_mat(m, n), lane_mat(1, n),
-                  lane_mat(1, m)],
+        in_specs=[lane_mat(n, n)] + [lane_mat(mi, n) for mi in ms]
+                 + [lane_mat(1, n)] + [lane_mat(1, mi) for mi in ms],
         out_specs=lane_mat(n, wid),
         out_shape=jax.ShapeDtypeStruct((B, n, wid), f32),
         interpret=interpret,
-    )(P.astype(f32), A.astype(f32), q.astype(f32)[:, None, :],
-      rho_row.astype(f32)[:, None, :])
+    )(P.astype(f32), *(a.astype(f32) for a in A_blocks),
+      q.astype(f32)[:, None, :],
+      *(rho_row[..., o:o + mi].astype(f32)[:, None, :]
+        for o, mi in zip(np.cumsum((0,) + ms[:-1]), ms)))
 
     for j in range(n // NB - 1, -1, -1):
         # The pivot-block slice for the inverse sweep is the only state read
@@ -194,6 +223,7 @@ def fused_factor_solve(P, A, q, rho_row, *, sigma: float,
         D = jax.lax.slice(S, (0, j * NB, k_pad + j * NB),
                           (B, (j + 1) * NB, k_pad + (j + 1) * NB))
         Dinv = pallas_spd_inverse_unrolled(D, lanes=pivot_lanes,
+                                           variant=pivot_variant,
                                            interpret=interpret)
         w_out = k_pad + j * NB
         S = pl.pallas_call(

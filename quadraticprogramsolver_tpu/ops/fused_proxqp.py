@@ -29,8 +29,20 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _chunk_kernel(rho_all_ref, active_all_ref,      # scalar-prefetch (B,)
-                  *refs, K: int, sigma: float, refine: int):
-    if refine > 0:
+                  *refs, K: int, sigma: float, refine: int,
+                  sigma_free: bool = False):
+    Gc_ref = g_ref = None
+    if sigma_free:
+        # Column cache {Ga, Gc, g} instead of M^{-1} (see
+        # ProxQPSettings.sigma_free_rhs): x = Ga(rho b - y) +
+        # Gc(rho(d-s) - z) - g — two cache dots per iteration, no q/sigma
+        # (Ga rides the Minv slot, kept (n, me): the dot contracts its
+        # last axis, same discipline as the ADMM kernel's G).
+        (Minv_ref, A_ref, C_ref, Gc_ref, g_ref, b_ref, d_ref,
+         x_ref, s_ref, y_ref, z_ref,
+         xo_ref, so_ref, yo_ref, zo_ref) = refs
+        P_ref = q_ref = None
+    elif refine > 0:
         (Minv_ref, A_ref, C_ref, P_ref, q_ref, b_ref, d_ref,
          x_ref, s_ref, y_ref, z_ref,
          xo_ref, so_ref, yo_ref, zo_ref) = refs
@@ -54,10 +66,12 @@ def _chunk_kernel(rho_all_ref, active_all_ref,      # scalar-prefetch (B,)
 
     @pl.when(active)
     def _():
-        Minv = Minv_ref[0]
+        Minv = Minv_ref[0]        # Ga (n, me) when sigma_free
         A = A_ref[0]
         C = C_ref[0]
-        q = q_ref[0]
+        q = None if sigma_free else q_ref[0]
+        Gc = Gc_ref[0] if sigma_free else None
+        g = g_ref[0] if sigma_free else None
         b = b_ref[0]
         d = d_ref[0]
         rho_inv = 1.0 / rho
@@ -70,17 +84,21 @@ def _chunk_kernel(rho_all_ref, active_all_ref,      # scalar-prefetch (B,)
 
         def body(_, carry):
             x, s, y, z = carry
-            r = (-q + sg * x
-                 + dot(rho * b - y, A, ((1,), (0,)))
-                 + dot(rho * (d - s) - z, C, ((1,), (0,))))
-            x = dot(r, Minv, ((1,), (0,)))
-            for _i in range(refine):
-                Ax_ = dot(x, A, ((1,), (1,)))
-                Cx_ = dot(x, C, ((1,), (1,)))
-                Mx = (dot(x, P_ref[0], ((1,), (0,))) + sg * x
-                      + rho * (dot(Ax_, A, ((1,), (0,)))
-                               + dot(Cx_, C, ((1,), (0,)))))
-                x = x + dot(r - Mx, Minv, ((1,), (0,)))
+            if sigma_free:
+                x = (dot(rho * b - y, Minv, ((1,), (1,)))
+                     + dot(rho * (d - s) - z, Gc, ((1,), (1,))) - g)
+            else:
+                r = (-q + sg * x
+                     + dot(rho * b - y, A, ((1,), (0,)))
+                     + dot(rho * (d - s) - z, C, ((1,), (0,))))
+                x = dot(r, Minv, ((1,), (0,)))
+                for _i in range(refine):
+                    Ax_ = dot(x, A, ((1,), (1,)))
+                    Cx_ = dot(x, C, ((1,), (1,)))
+                    Mx = (dot(x, P_ref[0], ((1,), (0,))) + sg * x
+                          + rho * (dot(Ax_, A, ((1,), (0,)))
+                                   + dot(Cx_, C, ((1,), (0,)))))
+                    x = x + dot(r - Mx, Minv, ((1,), (0,)))
             Cx = dot(x, C, ((1,), (1,)))
             Ax = dot(x, A, ((1,), (1,)))
             s = jnp.maximum(d - Cx - rho_inv * z, 0.0)
@@ -96,25 +114,35 @@ def _chunk_kernel(rho_all_ref, active_all_ref,      # scalar-prefetch (B,)
         zo_ref[0] = z
 
 
-@functools.partial(jax.jit, static_argnames=("K", "sigma", "refine", "interpret"))
+@functools.partial(jax.jit, static_argnames=("K", "sigma", "refine",
+                                             "sigma_free", "interpret"))
 def fused_proxqp_chunk(Minv, A, C, P, q, b, d, x, s, y, z, rho, active,
                        *, K: int, sigma: float, refine: int = 0,
+                       sigma_free: bool = False, Gc=None, g=None,
                        interpret: bool = False):
     """Run K fused prox-ALM iterations for every active lane.
 
     Shapes: Minv/P (B, n, n); A (B, me, n); C (B, mi, n); q/x (B, n);
     b/y (B, me); d/s/z (B, mi); rho (B,); active (B,) bool. P is only an
     operand when refine > 0.
+
+    With ``sigma_free``: Minv instead carries Ga = M^{-1}A' (B, n, me),
+    plus ``Gc`` = M^{-1}C' (B, n, mi) and ``g`` = M^{-1}q (B, n) — the
+    x-update is Ga(rho b - y) + Gc(rho(d - s) - z) - g (exact ALM; see
+    ProxQPSettings.sigma_free_rhs). P/q are unused; refine must be 0.
     """
-    B, n = q.shape
+    B, n = x.shape
     me = b.shape[-1]
     mi = d.shape[-1]
+    if sigma_free and (refine > 0 or Gc is None or g is None):
+        raise ValueError("sigma_free needs Gc and g and excludes refine > 0")
     if n % 128 or me % 128 or mi % 128 or me == 0 or mi == 0:
         raise ValueError(
             f"fused proxqp chunk needs n, n_eq, n_ineq nonzero multiples of "
             f"128; got {(n, me, mi)}")
     f32 = jnp.float32
-    kernel = functools.partial(_chunk_kernel, K=K, sigma=sigma, refine=refine)
+    kernel = functools.partial(_chunk_kernel, K=K, sigma=sigma, refine=refine,
+                               sigma_free=sigma_free)
 
     mat = lambda r, c: pl.BlockSpec((1, r, c), lambda g, *_: (g, 0, 0),
                                     memory_space=pltpu.VMEM)
@@ -127,9 +155,12 @@ def fused_proxqp_chunk(Minv, A, C, P, q, b, d, x, s, y, z, rho, active,
             num_scalar_prefetch=2,  # rho and active, read per program_id
             grid=(B,),
             in_specs=(
-                [mat(n, n), mat(me, n), mat(mi, n)]
+                [mat(n, me) if sigma_free else mat(n, n),
+                 mat(me, n), mat(mi, n)]
+                + ([mat(n, mi), vec(n)] if sigma_free else [])
                 + ([mat(n, n)] if refine > 0 else [])
-                + [vec(n), vec(me), vec(mi),
+                + ([] if sigma_free else [vec(n)])
+                + [vec(me), vec(mi),
                    vec(n), vec(mi), vec(me), vec(mi)]
             ),
             out_specs=[vec(n), vec(mi), vec(me), vec(mi)],
@@ -144,8 +175,11 @@ def fused_proxqp_chunk(Minv, A, C, P, q, b, d, x, s, y, z, rho, active,
     )(
         rho.astype(f32), active.astype(jnp.int32),
         Minv.astype(f32), A.astype(f32), C.astype(f32),
+        *(([Gc.astype(f32), g.astype(f32)[:, None, :]] if sigma_free
+           else [])),
         *(([P.astype(f32)]) if refine > 0 else []),
-        q.astype(f32)[:, None, :], b.astype(f32)[:, None, :],
+        *(([] if sigma_free else [q.astype(f32)[:, None, :]])),
+        b.astype(f32)[:, None, :],
         d.astype(f32)[:, None, :],
         x.astype(f32)[:, None, :], s.astype(f32)[:, None, :],
         y.astype(f32)[:, None, :], z.astype(f32)[:, None, :],

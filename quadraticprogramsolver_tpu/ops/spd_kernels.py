@@ -295,6 +295,57 @@ def _pivot_sweep_v3_kernel(S_ref, out_ref, *, lanes: int, nb: int):
     out_ref[:] = out.reshape(L * nb, nb)
 
 
+def _pivot_sweep_rq_kernel(S_ref, out_ref, *, lanes: int, nb: int, q: int):
+    """Rank-q composition of the v3 sweep with ANALYTIC in-group corrections.
+
+    q consecutive GJ steps share ONE fused (L, nb, nb) pass
+    ``W -= sum_t a_t w_t``; the later steps' factors are corrected from the
+    earlier ones' by tiny vector FMAs on the group's own rows/columns
+    ((L, 1, nb) + (L, nb, 1) each — q*(q-1) of them per group). Unlike the
+    measured-dead panel variant there are NO concats and NO batched MXU
+    mini-dots: everything stays fused elementwise, so the only cost moved
+    is full passes 128 -> 128/q. Targets the round-3 pivot-endgame finding
+    that per-step cost is scheduler/issue-bound (~0.2-0.3 us/step at any
+    width): if that floor is per PASS, rank-q divides it.
+
+    Same algebra as v3 (derivation: step j is W <- W - a_j w_j; step k>j
+    inside the group needs column/row k of the PARTIALLY UPDATED W, i.e.
+    c_k - sum_{u<k} a_u w_u[k] and r_k - sum_{u<k} a_u[k] w_u — the
+    corrections below), same Jacobi pre-scale, same folded e-fixes.
+    """
+    f32 = jnp.float32
+    L = lanes
+    W = S_ref[:].reshape(L, nb, nb)
+    lane_idx = jax.lax.broadcasted_iota(jnp.int32, (1, 1, nb), 2)
+    sub_idx = jax.lax.broadcasted_iota(jnp.int32, (1, nb, 1), 1)
+    diag_mask = (jnp.broadcast_to(sub_idx, (1, nb, nb))
+                 == jnp.broadcast_to(lane_idx, (1, nb, nb))).astype(f32)
+    Wd = W * diag_mask
+    s_col = jax.lax.rsqrt(jnp.sum(Wd, axis=2, keepdims=True))
+    s_row = jax.lax.rsqrt(jnp.sum(Wd, axis=1, keepdims=True))
+    W = W * s_col * s_row
+    for p in range(nb // q):
+        a_list, w_list = [], []
+        for t in range(q):
+            j = p * q + t
+            e_row = (lane_idx == j).astype(f32)
+            e_col = (sub_idx == j).astype(f32)
+            r = W[:, j:j + 1, :]                       # (L, 1, nb)
+            c = W[:, :, j:j + 1]                       # (L, nb, 1)
+            for a_u, w_u in zip(a_list, w_list):
+                r = r - a_u[:, j:j + 1, :] * w_u       # row-j correction
+                c = c - a_u * w_u[:, :, j:j + 1]       # col-j correction
+            dinv = 1.0 / r[:, :, j:j + 1]              # (L, 1, 1)
+            a_list.append((c - e_col) * dinv)
+            w_list.append(r - e_row)
+        upd = a_list[0] * w_list[0]
+        for a_t, w_t in zip(a_list[1:], w_list[1:]):
+            upd = upd + a_t * w_t
+        W = W - upd                                    # ONE fused full pass
+    out = (2.0 * diag_mask - W) * s_col * s_row
+    out_ref[:] = out.reshape(L * nb, nb)
+
+
 def _pivot_sweep_panel_kernel(S_ref, out_ref, *, lanes: int, nb: int,
                               pw: int = 8):
     """Rank-pw panel composition of the v3 sweep.
@@ -528,6 +579,14 @@ def pallas_spd_inverse_unrolled(D, *, lanes: int = 8, variant: str = "v3",
         scratch = []
     elif variant == "panel":
         kernel = functools.partial(_pivot_sweep_panel_kernel, lanes=L, nb=nb)
+        scratch = []
+    elif variant.startswith("r") and variant[1:].isdigit():
+        # Rank-q analytic composition ("r2", "r4", ...): 128/q fused full
+        # passes per sweep (see _pivot_sweep_rq_kernel).
+        q = int(variant[1:])
+        if nb % q:
+            raise ValueError(f"rank-q variant needs nb % q == 0; got {nb}, {q}")
+        kernel = functools.partial(_pivot_sweep_rq_kernel, lanes=L, nb=nb, q=q)
         scratch = []
     else:
         kernel = functools.partial(_pivot_sweep_unrolled_kernel, lanes=L, nb=nb)

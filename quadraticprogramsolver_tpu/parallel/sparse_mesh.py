@@ -170,15 +170,47 @@ def shard_sparse_qp(P, q, A, l, u, n_shards: int, dtype=np.float32,
     )
 
 
+def _zero_carry(sq: ShardedSparseQP, settings: Settings):
+    """Fresh solve-space carry (x, z, y, rho, rho_cand[, aa]) — the state a
+    cold solve starts from and a segment boundary hands forward."""
+    n, D, m_loc = sq.n, sq.n_shards, sq.l.shape[-1]
+    dt = sq.dtype
+    rho = jnp.asarray(settings.rho, dt)
+    carry = {
+        "x": jnp.zeros((n,), dt),
+        "z": jnp.zeros((D, m_loc), dt),
+        "y": jnp.zeros((D, m_loc), dt),
+        "rho": rho,
+        "rho_cand": rho,
+    }
+    mem = settings.anderson_memory
+    if mem > 0:
+        carry["aa"] = {
+            "Sx": jnp.zeros((mem, n), dt), "Fx": jnp.zeros((mem, n), dt),
+            "Sw": jnp.zeros((D, mem, m_loc), dt),
+            "Fw": jnp.zeros((D, mem, m_loc), dt),
+            "px": jnp.zeros((n,), dt), "fx": jnp.zeros((n,), dt),
+            "pw": jnp.zeros((D, m_loc), dt), "fw": jnp.zeros((D, m_loc), dt),
+            "count": jnp.zeros((), jnp.int32),
+        }
+    return carry
+
+
 def solve_sparse_mesh(sq: ShardedSparseQP, settings: Settings = Settings(),
                       mesh: Mesh | None = None, m_orig: int | None = None,
-                      scaling=None) -> Solution:
+                      scaling=None, carry=None, return_carry: bool = False):
     """Solve the row-sharded sparse QP. Same math as models/admm.py's CG
     path; iterates match the single-device SparseQP solve check-for-check.
 
     ``scaling``: the ScalingData whose matrices ``sq`` was built from
     (termination then runs on UNSCALED residuals and the returned solution
     is unscaled, exactly like solve(scaling=...)).
+
+    ``carry``/``return_carry``: warm-start from / hand back the raw
+    solve-space state (x, z, y, rho, rho_cand[, aa]) — the segment
+    interface :func:`solve_sparse_mesh_segmented` builds on (the mesh
+    sibling of models/admm.py:solve_segmented's carry). The carry is
+    PRE-polish: polish refines only the returned Solution.
     """
     if mesh is None:
         mesh = Mesh(np.asarray(jax.devices()[:sq.n_shards]), (SPARSE_AXIS,))
@@ -191,6 +223,8 @@ def solve_sparse_mesh(sq: ShardedSparseQP, settings: Settings = Settings(),
     m_pad = sq.l.shape[-1] * D
     m_out = m_pad if m_orig is None else m_orig
     dt = sq.dtype
+    if carry is None:
+        carry = _zero_carry(sq, settings)
 
     if scaling is not None:
         d_scale = jnp.asarray(scaling.d, dt)
@@ -200,13 +234,22 @@ def solve_sparse_mesh(sq: ShardedSparseQP, settings: Settings = Settings(),
         c_scale = jnp.ones((), dt)
 
     shard = P(ax)
-    in_specs = (shard, P(None), P(None), P(None))
-    out_specs = (P(None), shard, shard) + (P(),) * 6
+    rep = P(None)
+    carry_spec = {"x": rep, "z": shard, "y": shard, "rho": P(),
+                  "rho_cand": P()}
+    if settings.anderson_memory > 0:
+        carry_spec["aa"] = {"Sx": rep, "Fx": rep, "Sw": shard, "Fw": shard,
+                            "px": rep, "fx": rep, "pw": shard, "fw": shard,
+                            "count": P()}
+    in_specs = (shard, rep, rep, rep, carry_spec)
+    out_specs = ((rep, shard, shard) + (P(),) * 6
+                 + (carry_spec,) if return_carry else
+                 (rep, shard, shard) + (P(),) * 6)
 
     @jax.jit
     @partial(jax.shard_map, mesh=mesh, in_specs=in_specs,
              out_specs=out_specs)
-    def run(blk, q, dP, dAtA):
+    def run(blk, q, dP, dAtA, carry_in):
         (A_vals, A_cols, Atp_vals, Atp_cols, Ptp_vals, Ptp_cols, l, u,
          e_scale) = (x[0] for x in blk)
         sigma = jnp.asarray(settings.sigma_for(dt), dt)
@@ -262,13 +305,12 @@ def solve_sparse_mesh(sq: ShardedSparseQP, settings: Settings = Settings(),
         unsc_d = lambda v: v * dc_inv
         unsc_x = lambda v: v * d_scale
 
-        # vma discipline: row-sharded carries (z, y, Ax cache) are pre-marked
-        # varying over the mesh axis; every n-space/scalar carry stays
-        # invariant because all its cross-shard data flows through psum/pmax
-        # (whose outputs the checker treats as replicated).
+        # vma discipline: row-sharded carries (z, y, Ax cache) arrive varying
+        # (sharded operands); every n-space/scalar carry stays invariant
+        # because all its cross-shard data flows through psum/pmax (whose
+        # outputs the checker treats as replicated).
         mark = lambda v: jax.lax.pcast(v, ax, to="varying")
         zeros_m = mark(jnp.zeros(l.shape, dt))
-        m_loc = l.shape[-1]
         mem = settings.anderson_memory
         aa0 = None
         if mem > 0:
@@ -277,28 +319,33 @@ def solve_sparse_mesh(sq: ShardedSparseQP, settings: Settings = Settings(),
             # The Gram below psums the w contribution so every shard solves
             # the identical MxM mixing system (math: models/anderson.py;
             # layout: consensus.py's sharded variant, unbatched here).
+            a_in = carry_in["aa"]
             aa0 = {
-                "Sx": jnp.zeros((mem, n), dt), "Fx": jnp.zeros((mem, n), dt),
-                "Sw": mark(jnp.zeros((mem, m_loc), dt)),
-                "Fw": mark(jnp.zeros((mem, m_loc), dt)),
-                "px": jnp.zeros((n,), dt), "fx": jnp.zeros((n,), dt),
-                "pw": zeros_m, "fw": zeros_m,
-                "count": jnp.zeros((), jnp.int32),
+                "Sx": a_in["Sx"], "Fx": a_in["Fx"],
+                "Sw": a_in["Sw"][0], "Fw": a_in["Fw"][0],
+                "px": a_in["px"], "fx": a_in["fx"],
+                "pw": a_in["pw"][0], "fw": a_in["fw"][0],
+                "count": a_in["count"],
             }
         state0 = (
-            jnp.zeros((n,), dt),            # x (replicated)
-            zeros_m, zeros_m,               # z, y (row-sharded)
+            carry_in["x"],                  # x (replicated)
+            carry_in["z"][0],               # z (row-sharded, (1, m_loc)[0])
+            carry_in["y"][0],               # y (row-sharded)
             jnp.zeros((n,), dt),            # xx carry (CG warm start)
-            jnp.asarray(settings.rho, dt),  # rho
-            jnp.asarray(settings.rho, dt),  # rho_cand
+            carry_in["rho"],                # rho
+            carry_in["rho_cand"],           # rho_cand
             jnp.zeros((), jnp.int32),       # status
             jnp.zeros((), jnp.int32),       # iterations at finish
             jnp.zeros((), jnp.int32),       # global iteration
             jnp.full((), jnp.inf, dt),      # res_prim
             jnp.full((), jnp.inf, dt),      # res_dual
             # products cache for certificate deltas (Px, Ax, ATy at the
-            # previous check; Ax row-sharded, others replicated)
-            jnp.zeros((n,), dt), zeros_m, jnp.zeros((n,), dt),
+            # previous check; Ax row-sharded, others replicated). Computed
+            # from the carry so warm-started segments see correct deltas
+            # (for a cold start these are the same zeros as before).
+            matvec_P(carry_in["x"]),
+            matvec_A(carry_in["x"]),  # already varying (A_vals is sharded)
+            matvec_At(carry_in["y"][0]),
             aa0,  # None when anderson_memory == 0 (leafless pytree node)
         )
         max_total = settings.num_checks * settings.check_interval
@@ -514,7 +561,20 @@ def solve_sparse_mesh(sq: ShardedSparseQP, settings: Settings = Settings(),
                     Px, Ax, ATy, aa)
 
         st = jax.lax.while_loop(cond, body, state0)
-        x, z, y, _, rho, _, status, iters, it, rp, rd = st[:11]
+        x, z, y, _, rho, rho_cand_f, status, iters, it, rp, rd = st[:11]
+        aa_f = st[14]
+        # Raw solve-space carry for segment continuation — captured BEFORE
+        # polish (polish refines the reported solution, not the iteration).
+        carry_out = {"x": x, "z": z[None], "y": y[None], "rho": rho,
+                     "rho_cand": rho_cand_f}
+        if aa_f is not None:
+            carry_out["aa"] = {
+                "Sx": aa_f["Sx"], "Fx": aa_f["Fx"],
+                "Sw": aa_f["Sw"][None], "Fw": aa_f["Fw"][None],
+                "px": aa_f["px"], "fx": aa_f["fx"],
+                "pw": aa_f["pw"][None], "fw": aa_f["fw"][None],
+                "count": aa_f["count"],
+            }
         exhausted = status == Status.RUNNING
         status = jnp.where(exhausted, Status.MAX_ITERATIONS,
                            status).astype(jnp.int32)
@@ -607,19 +667,69 @@ def solve_sparse_mesh(sq: ShardedSparseQP, settings: Settings = Settings(),
         y_u = y * e_scale / c_scale
         obj = 0.5 * jnp.sum(x_u * (matvec_P(x) / (d_scale * c_scale))) \
             + jnp.sum((q / (d_scale * c_scale)) * x_u)
-        return (x_u, z_u[None], y_u[None], status, iters, rp, rd,
-                rho * jnp.ones((), dt), obj)
+        out = (x_u, z_u[None], y_u[None], status, iters, rp, rd,
+               rho * jnp.ones((), dt), obj)
+        return out + (carry_out,) if return_carry else out
 
     blk = (sq.A_vals, sq.A_cols, sq.Atp_vals, sq.Atp_cols, sq.Ptp_vals,
            sq.Ptp_cols, sq.l, sq.u, sq.e_scale)
     blk = tuple(jax.device_put(b, NamedSharding(mesh, P(ax)))
                 for b in blk)
-    rep = NamedSharding(mesh, P())
-    args = tuple(jax.device_put(v, rep) for v in (sq.q, sq.dP, sq.dAtA))
+    rep_sh = NamedSharding(mesh, P())
+    args = tuple(jax.device_put(v, rep_sh) for v in (sq.q, sq.dP, sq.dAtA))
     with jax.default_matmul_precision(settings.matmul_precision):
-        x, z, y, status, iters, rp, rd, rho, obj = run(blk, *args)
+        out = run(blk, *args, carry)
+    x, z, y, status, iters, rp, rd, rho, obj = out[:9]
     z = z.reshape(-1)[:m_out]
     y = y.reshape(-1)[:m_out]
     info = SolveInfo(status=status, iterations=iters, res_prim=rp,
                      res_dual=rd, rho=rho, objective=obj)
-    return Solution(x=x, z=z, y=y, info=info)
+    sol = Solution(x=x, z=z, y=y, info=info)
+    return (sol, out[9]) if return_carry else sol
+
+
+def solve_sparse_mesh_segmented(sq: ShardedSparseQP,
+                                settings: Settings = Settings(),
+                                mesh: Mesh | None = None,
+                                m_orig: int | None = None, scaling=None,
+                                segment_iterations: int = 100,
+                                callback=None) -> Solution:
+    """Bounded device programs over the mesh with a warm-start carry —
+    the distributed sibling of models/admm.py:solve_segmented.
+
+    Why it exists: a monolithic mesh program that RUNS for minutes risks
+    the remote worker's runtime fault the round-2 n=1e5 solves hit, and a
+    segment boundary is a natural checkpoint (the carry is a host-visible
+    pytree — save it with utils/checkpoint-style np round-trips). Anderson
+    history, adaptive-rho state, and the certificate product caches all
+    ride the carry, so the segmented trajectory matches the monolithic one
+    check-for-check when segment_iterations is a multiple of
+    check_interval (tests/test_sparse_mesh.py pins this).
+
+    ``callback(segment_index, solution, carry)``: optional per-segment
+    hook (checkpointing, logging); returning False stops early.
+    """
+    import dataclasses as _dc
+
+    total_budget = settings.max_iterations
+    carry = None
+    total_iters = 0
+    seg_idx = 0
+    sol = None
+    while total_budget > 0:
+        seg = _dc.replace(settings,
+                          max_iterations=min(segment_iterations, total_budget))
+        sol, carry = solve_sparse_mesh(sq, seg, mesh, m_orig, scaling,
+                                       carry=carry, return_carry=True)
+        total_iters += int(sol.info.iterations)
+        total_budget -= seg.max_iterations
+        if callback is not None and callback(seg_idx, sol, carry) is False:
+            break
+        seg_idx += 1
+        if int(sol.info.status) != Status.MAX_ITERATIONS:
+            break
+    info = SolveInfo(status=sol.info.status,
+                     iterations=jnp.asarray(total_iters, jnp.int32),
+                     res_prim=sol.info.res_prim, res_dual=sol.info.res_dual,
+                     rho=sol.info.rho, objective=sol.info.objective)
+    return Solution(x=sol.x, z=sol.z, y=sol.y, info=info)

@@ -6,6 +6,8 @@ cross-family validation the reference performs by solving its ProxQP demos
 with Convex.jl/ECOS (`/root/reference/ProxQP001.jl:52-62,94`).
 """
 
+import dataclasses
+
 import numpy as np
 import pytest
 
@@ -477,3 +479,42 @@ def test_proxqp_solve_segmented_matches_monolithic():
     # Lanes that finished in an earlier segment re-verify on re-entry:
     # counts match to one check interval per extra segment.
     assert (np.abs(it_m - it_s) <= 2 * st.check_interval).all(), (it_m, it_s)
+
+
+def test_proxqp_sigma_free_matches_oracle_and_plain():
+    """Exact-ALM sigma-free path (ProxQPSettings.sigma_free_rhs): the
+    {Ga, Gc, g} column cache replaces M^{-1}; solutions must land on the
+    oracle and agree with the plain proximal path."""
+    prob = _random_split_problem(seed=3)
+    x_ref = _oracle_x(prob)
+    st = dataclasses.replace(SETTINGS, kkt_refinement_steps=0)
+    st_sf = dataclasses.replace(st, sigma_free_rhs=True)
+    plain = proxqp.solve_jit(prob, st)
+    sf = proxqp.solve_jit(prob, st_sf)
+    assert bool(sf.info.converged)
+    assert np.abs(np.asarray(sf.x) - x_ref).max() <= 1e-6
+    assert np.abs(np.asarray(sf.x) - np.asarray(plain.x)).max() <= 1e-6
+    # Refinement requires M^{-1} — rejected.
+    with pytest.raises(ValueError, match="refinement"):
+        proxqp.solve(prob, dataclasses.replace(
+            SETTINGS, sigma_free_rhs=True, kkt_refinement_steps=1))
+
+
+def test_proxqp_sigma_free_fused_chunk_matches_xla():
+    """sigma_free + fused_chunk (slab factor with separate (A, C) blocks +
+    the Ga/Gc kernel, interpret mode on CPU) must agree with the sigma-free
+    XLA path and converge."""
+    import jax
+
+    probs = [_random_split_problem(n=128, me=128, mi=128, seed=s,
+                                   dtype=np.float32) for s in (0, 1)]
+    batched = jax.tree.map(lambda *xs: np.stack(xs), *probs)
+    st_x = qps.ProxQPSettings(max_iterations=500, eps_abs=1e-5, eps_rel=1e-5,
+                              kkt_refinement_steps=0, sigma_free_rhs=True)
+    st_f = dataclasses.replace(st_x, fused_chunk=True)
+    sx = proxqp.solve_jit(batched, st_x)
+    sf = proxqp.solve_jit(batched, st_f)
+    assert np.asarray(sf.info.converged).all()
+    scale = np.abs(np.asarray(sx.x)).max() + 1.0
+    dev = np.abs(np.asarray(sx.x) - np.asarray(sf.x)).max() / scale
+    assert dev <= 1e-4, dev

@@ -190,3 +190,29 @@ def test_mesh_vector_rho_matches_single_device():
     assert int(sol.info.iterations) == int(ref.info.iterations)
     np.testing.assert_allclose(np.asarray(sol.x), np.asarray(ref.x),
                                rtol=0, atol=1e-7)
+
+
+def test_mesh_segmented_matches_monolithic():
+    """solve_sparse_mesh_segmented (bounded programs + warm-start carry,
+    the distributed sibling of solve_segmented) must reproduce the
+    monolithic mesh solve check-for-check — including adaptive-rho state
+    and Anderson history riding the carry."""
+    from quadraticprogramsolver_tpu.parallel.sparse_mesh import (
+        solve_sparse_mesh_segmented)
+
+    Pm, q, A, l, u = _sparse_problem(seed=11)
+    st = dataclasses.replace(SETTINGS, anderson_memory=8)
+    mesh = Mesh(np.asarray(jax.devices()[:4]), ("rows",))
+    sq = shard_sparse_qp(Pm, q, A, l, u, 4, dtype=np.float64)
+    mono = solve_sparse_mesh(sq, st, mesh, m_orig=A.shape[0])
+    segs = []
+    seg = solve_sparse_mesh_segmented(
+        sq, st, mesh, m_orig=A.shape[0], segment_iterations=50,
+        callback=lambda i, s, c: segs.append(int(s.info.iterations)))
+    assert int(seg.info.status) == int(mono.info.status)
+    assert int(seg.info.iterations) == int(mono.info.iterations), segs
+    np.testing.assert_allclose(np.asarray(seg.x), np.asarray(mono.x),
+                               rtol=0, atol=1e-9)
+    np.testing.assert_allclose(np.asarray(seg.z), np.asarray(mono.z),
+                               rtol=0, atol=1e-9)
+    assert len(segs) >= 2  # actually exercised the carry
