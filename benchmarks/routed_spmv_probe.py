@@ -175,7 +175,11 @@ def main(argv=None):
     if not args.skip_micro:
         log("\nsquare take_along_axis(axis=1) micro (idx.shape == src.shape"
             " — the only form Mosaic's gather lowering accepts):")
+        # The G=64 tall row measures ~26 ms — the RELAY dispatch floor, an
+        # upper bound only; G=1024 (103M slots, ~820 MB streamed) resolves
+        # the true per-slot cost.
         for (S, W, G) in ((8, 128, 512), (32, 128, 512), (784, 128, 64),
+                          (784, 128, 1024),
                           (8, 256, 96), (8, 1024, 96), (8, 12544, 8),
                           (16, 6272, 8)):
             X = jnp.asarray(rng.standard_normal((S, W)).astype(np.float32))
