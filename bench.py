@@ -19,6 +19,7 @@ Protocol (diagnostics on stderr, never stdout):
 
 from __future__ import annotations
 
+import dataclasses
 import json
 import os
 import sys
@@ -148,21 +149,34 @@ def main():
     # Round 4: B=4096 fits once the build kernel assembles [A' q] in VMEM
     # and only G/g are sliced from the slab (peak HBM = P 4 + A 2 + slab 7
     # GiB); round 2's "B=4096 OOM" was measured against the old
-    # P+A+M+M_inv accounting. 3072/2048 are the fallbacks if it OOMs.
-    for batch in (4096, 3072, 2048):
+    # P+A+M+M_inv accounting. Settings.slab_cache (the fused chunk reads G
+    # through a window into the slab — no 2 GiB G-slice copy; requires
+    # static rho, which costs nothing here: rho=0.4 never trips adaptation
+    # on this family, identical iteration counts measured) is the round-4
+    # default config: 11,662 vs 11,428 solves/s at B=4096 (within relay
+    # noise but never worse, and 2 GiB more HBM headroom). B=4352+slab was
+    # measured and REJECTED: it fits (after the g-at-init layout fix) but
+    # runs 10,147/s — both stages slow down super-linearly near HBM
+    # capacity (factor 190->235 ms, iterate 169->194). Plain 4096/3072/
+    # 2048 are the fallbacks if the slab fleet fails.
+    slab_settings = dataclasses.replace(
+        settings, adaptive_rho=False, slab_cache=True) if on_tpu else settings
+    ladder = [(4096, True), (4096, False), (3072, False), (2048, False)]
+    for batch, use_slab in ladder:
+        st_b = slab_settings if (use_slab and on_tpu) else settings
         try:
             t0 = time.perf_counter()
             qp = device_random_qp_fleet(batch, N, M, SEED)
             hard_sync(qp.P)
             log(f"B={batch}: generated on device in {time.perf_counter()-t0:.1f}s")
 
-            sol = qps.solve_jit(qp, settings)  # compile + warmup
+            sol = qps.solve_jit(qp, st_b)  # compile + warmup
             hard_sync(sol.x)
 
             dt = None
             for _ in range(3):
                 t0 = time.perf_counter()
-                sol = qps.solve_jit(qp, settings)
+                sol = qps.solve_jit(qp, st_b)
                 hard_sync(sol.x)
                 t = time.perf_counter() - t0
                 dt = t if dt is None else min(dt, t)
@@ -178,9 +192,14 @@ def main():
                 f"iters p50={np.median(iters):.0f} max={iters.max()}, "
                 f"{rate:.0f} solves/s")
             if best is None or rate > best[0]:
-                best = (rate, batch, dt, sol, qp)
+                best = (rate, batch, dt, sol, qp, st_b)
         except Exception as e:  # OOM at the larger fleet is possible
             log(f"B={batch}: failed ({type(e).__name__}: {e})")
+            # Drop the failed fleet's device buffers BEFORE generating the
+            # fallback fleet: a still-referenced 4352-lane qp (P 4.25 + A
+            # 2.1 GiB) otherwise rides into the next iteration and OOMs
+            # every fallback in turn (observed on-chip, round 4).
+            qp = sol = None  # noqa: F841
             continue  # fall through to the smaller fleet
         if best is not None:
             break  # first (largest) size that runs wins; skip the fallback
@@ -192,7 +211,7 @@ def main():
             "value": 0.0, "unit": "solves/sec/chip", "vs_baseline": 0.0}))
         return
 
-    rate, batch, dt, sol, qp = best
+    rate, batch, dt, sol, qp, settings = best
 
     # Pull the solution to host now: at B=4096 the factor-stage timing below
     # re-allocates the 7 GiB slab, and device-resident solution/info buffers

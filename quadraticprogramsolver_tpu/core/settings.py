@@ -178,6 +178,16 @@ class Settings:
     #: the measured per-pass issue floor; see benchmarks/
     #: pivot_inverse_probe.py for on-chip numbers before switching).
     pivot_variant: str = "v3"
+    #: Keep the fused factor's slab AS the KKT cache: the fused chunk reads
+    #: G through a block window into the slab and g from a cheap column
+    #: slice, so the (B, n, m) G copy (2 GiB at B=4096, n=512) is never
+    #: materialized — the memory that lets a 4352-lane fleet fit 16 GiB
+    #: HBM. Costs: the slab (k_pad + n columns) stays live through the
+    #: whole solve instead of just the factor, and the refactor branch
+    #: would hold TWO slabs — so this requires adaptive_rho=False (plus
+    #: fused_factor, sigma_free_rhs, fused_chunk, refine=0). Off by
+    #: default; bench.py opts in for its largest fleet.
+    slab_cache: bool = False
     #: Per-constraint penalty weighting: equality rows (l == u) get
     #: rho * rho_eq_scale (OSQP's vector-rho scheme — the reference's To-Do
     #: #1 "paramRho as a matrix"). 1.0 reproduces the reference's scalar rho.
@@ -208,6 +218,13 @@ class Settings:
             raise ValueError(
                 "sigma_free_rhs caches only G = M^{-1}A' and g = M^{-1}q — "
                 "iterative refinement needs M^{-1}; set kkt_refinement_steps=0")
+        if self.slab_cache and not (
+                self.fused_factor and self.sigma_free_rhs and self.fused_chunk
+                and not self.adaptive_rho):
+            raise ValueError(
+                "slab_cache requires fused_factor + sigma_free_rhs + "
+                "fused_chunk and adaptive_rho=False (a rho refactor would "
+                "hold two live slabs — the OOM this flag exists to avoid)")
 
     @property
     def eps_admm(self) -> float:

@@ -137,14 +137,24 @@ def _run_chunk(qp: QP, settings: Settings, backend, state: SolverState):
 
         active = state.status == Status.RUNNING
         sigma_free = settings.sigma_free_rhs
+        slab = sigma_free and "S" in state.kkt_cache
+        if slab:
+            # Settings.slab_cache: G is read through a block window into
+            # the slab (first m columns ARE G); g was sliced once at init
+            # (slicing the carried slab here would force a {1,2,0} carry
+            # layout and a full-slab relayout copy — see cholesky_init).
+            Gop = state.kkt_cache["S"]
+        else:
+            Gop = state.kkt_cache["G" if sigma_free else "M_inv"]
+        gvec = state.kkt_cache["g"] if sigma_free else None
         x, z, y, xp, zp, Ax, ATy = fused_admm_chunk(
-            state.kkt_cache["G" if sigma_free else "M_inv"],
+            Gop,
             qp.A, qp.P, qp.q, qp.l, qp.u,
             state.x, state.z, state.y, rho_row, active,
             K=settings.check_interval, alpha=settings.alpha,
             sigma=settings.sigma_for(jnp.float32), refine=settings.kkt_refinement_steps,
-            sigma_free=sigma_free,
-            g=state.kkt_cache["g"] if sigma_free else None,
+            sigma_free=sigma_free, slab=slab,
+            g=gvec,
             interpret=jax.default_backend() != "tpu")
         return x, z, y, xp, zp, state.kkt_cache, (Ax, ATy)
 

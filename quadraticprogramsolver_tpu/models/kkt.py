@@ -144,6 +144,16 @@ def cholesky_init(qp: QP, rho, sigma, settings: Settings):
             rho_row, sigma=float(settings.sigma_for(qp.dtype)),
             pivot_variant=settings.pivot_variant,
             interpret=jax.default_backend() != "tpu")
+        if settings.slab_cache:
+            # Keep the slab itself: the fused chunk reads G through a block
+            # window — no (B, n, m) G copy (see Settings.slab_cache). g IS
+            # sliced here, once (8.5 MB at B=4096): if the solve loop
+            # instead column-slices the carried slab each check, XLA's
+            # layout assignment puts the carry in {1,2,0} for the slice
+            # while the Pallas chunk constrains its operand to {2,1,0} —
+            # and the relayout copy holds a SECOND 7.4 GiB slab (measured
+            # on-chip OOM: 21.3 G needed of 15.75 at B=4352).
+            return {"S": S, "g": S[..., :, qp.m]}
         return {"G": S[..., :, : qp.m], "g": S[..., :, qp.m]}
     # The factor path may run at a lower matmul precision than the rest of
     # the solve (Settings.factor_precision): M^{-1} only needs to be a good
@@ -175,8 +185,13 @@ def cholesky_solve(cache, qp: QP, x, z, y, rho, settings: Settings):
     sigma = jnp.asarray(settings.sigma_for(qp.dtype), qp.dtype)
     rho_row = rho_rows(qp, rho, settings)
     if settings.sigma_free_rhs:
+        if "S" in cache:  # slab_cache: slice G lazily (XLA path only — the
+            G = cache["S"][..., :, : qp.m]       # fused chunk reads the
+        else:                                    # slab directly)
+            G = cache["G"]
+        g = cache["g"]
         t = rho_row * z - y
-        xx = jnp.einsum("...k,...nk->...n", t, cache["G"]) - cache["g"]
+        xx = jnp.einsum("...k,...nk->...n", t, G) - g
         return xx, qp.matvec_A(xx), cache
     b = _normal_rhs(qp, x, z, y, rho_row, sigma)
     M_inv = cache["M_inv"]

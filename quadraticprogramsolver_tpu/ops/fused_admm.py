@@ -162,10 +162,11 @@ def _chunk_kernel(active_all_ref,                   # scalar-prefetch (B,) SMEM
 @functools.partial(
     jax.jit,
     static_argnames=("K", "alpha", "sigma", "refine", "lanes", "sigma_free",
-                     "interpret"))
+                     "slab", "interpret"))
 def fused_admm_chunk(Minv, A, P, q, l, u, x, z, y, rho_row, active,
                      *, K: int, alpha: float, sigma: float, refine: int = 0,
                      lanes: int = 1, sigma_free: bool = False,
+                     slab: bool = False,
                      interpret: bool = False, g=None):
     """Run K fused ADMM iterations for every active lane.
 
@@ -181,6 +182,11 @@ def fused_admm_chunk(Minv, A, P, q, l, u, x, z, y, rho_row, active,
       (DMA'd/resident) when refine > 0; VMEM per lane is n^2 + m*n floats
       (+ n^2 with refinement), or 2*m*n with sigma_free.
       lanes: independent lanes interleaved per grid step (B must divide).
+      slab (with sigma_free): ``Minv`` is the FULL factor slab
+        (B, n, >= m + 128) and G is read through a (lanes, n, m) block
+        WINDOW at column offset 0 — the slab's first m columns are exactly
+        G = M^{-1}A' (ops/fused_factor.py layout), so the (B, n, m) G copy
+        is never materialized in HBM (see Settings.slab_cache).
     Returns:
       (x, z, y, x_prev, z_prev, Ax, ATy) after K iterations (prev = start of
       the last iteration, for the ADMM fixed-point test; Ax/ATy are the
@@ -200,6 +206,13 @@ def fused_admm_chunk(Minv, A, P, q, l, u, x, z, y, rho_row, active,
                                refine=refine, lanes=lanes,
                                sigma_free=sigma_free)
 
+    if slab and not sigma_free:
+        raise ValueError("slab windows apply to the sigma-free G cache only")
+    if slab and Minv.shape[-1] < m:
+        raise ValueError(f"slab width {Minv.shape[-1]} < m={m}")
+    if not slab and sigma_free and Minv.shape[-1] != m:
+        raise ValueError(f"G must be (B, n, m); got {Minv.shape} "
+                         "(pass slab=True for a slab-backed G)")
     grid = (B // lanes,)
     # index_map receives (grid_idx, *scalar_prefetch_refs) under
     # PrefetchScalarGridSpec — hence the *_ tail. Vectors carry a singleton
@@ -209,6 +222,10 @@ def fused_admm_chunk(Minv, A, P, q, l, u, x, z, y, rho_row, active,
                                     memory_space=pltpu.VMEM)
     vec = lambda c: pl.BlockSpec((lanes, 1, c), lambda b, *_: (b, 0, 0),
                                  memory_space=pltpu.VMEM)
+    # With ``slab`` the G operand's block is a WINDOW into the wider slab:
+    # block shape (lanes, n, m) over array (B, n, wid), index (b, 0, 0)
+    # addresses elements [b*lanes:(b+1)*lanes, 0:n, 0:m] — G exactly.
+    g_spec = mat(n, m) if sigma_free else mat(n, n)
 
     out = pl.pallas_call(
         kernel,
@@ -216,7 +233,7 @@ def fused_admm_chunk(Minv, A, P, q, l, u, x, z, y, rho_row, active,
             num_scalar_prefetch=1,  # active mask, read per program_id
             grid=grid,
             in_specs=(
-                [mat(n, m) if sigma_free else mat(n, n), mat(m, n)]
+                [g_spec, mat(m, n)]
                 + ([mat(n, n)] if refine > 0 else [])
                 + [vec(n)]  # g when sigma_free, else q
                 + [vec(m), vec(m), vec(m), vec(n), vec(m), vec(m)]

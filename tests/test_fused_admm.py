@@ -1,5 +1,7 @@
 """Fused Pallas ADMM-chunk kernel vs the XLA chunk path (interpret mode on CPU)."""
 
+import dataclasses
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -265,3 +267,29 @@ def test_fused_factor_end_to_end_solve():
     np.testing.assert_array_equal(st_a, st_b)
     dev = np.abs(np.asarray(sol_a.x)[ok] - np.asarray(sol_b.x)[ok]).max()
     assert dev <= 1e-3, dev
+
+
+def test_slab_cache_matches_sliced_cache():
+    """Settings.slab_cache: the fused chunk reading G through a block
+    window into the factor slab (plus the lazy g column slice) must
+    reproduce the sliced-{G, g} solve exactly (interpret mode on CPU)."""
+    fleet = qps.generate_batch(qps.ProblemClass.RANDOM_QP, 4, 128, seed=5,
+                               dtype=np.float32)
+    base = qps.Settings(max_iterations=1000, eps_abs=1e-5, eps_rel=1e-5,
+                        rho=0.4, adaptive_rho=False, sigma_free_rhs=True,
+                        kkt_refinement_steps=0, fused_chunk=True,
+                        fused_factor=True)
+    slab = dataclasses.replace(base, slab_cache=True)
+    s0 = qps.solve_jit(fleet, base)
+    s1 = qps.solve_jit(fleet, slab)
+    assert (np.asarray(s1.info.status) >= 2).all()
+    np.testing.assert_array_equal(np.asarray(s1.info.iterations),
+                                  np.asarray(s0.info.iterations))
+    dev = np.abs(np.asarray(s1.x) - np.asarray(s0.x)).max()
+    assert dev == 0.0, dev  # identical program modulo the G copy
+
+    # The validator rejects unsupported combinations.
+    import pytest
+
+    with pytest.raises(ValueError, match="slab_cache"):
+        qps.Settings(slab_cache=True)  # adaptive_rho on by default
