@@ -115,6 +115,17 @@ class Settings:
     #: (pad_qp); silently falls back to the XLA chunk otherwise.
     #: kkt_refinement_steps apply inside the fused chunk as well.
     fused_chunk: bool = False
+    #: Lanes interleaved per grid step of the fused chunk kernel. A single
+    #: lane's iteration is a chain of dependent (1, n) dots that leave the
+    #: MXU idle between stages; packing independent lanes gives the
+    #: scheduler overlap. Measured on-chip (round 4, B=4096 sigma-free):
+    #: 96.9 / 95.5 / 91.0 ms per 13-iteration chunk at 1 / 2 / 4 lanes
+    #: (lanes=8 exceeds VMEM and fails remote compile). Costs: B must be
+    #: divisible by it (else the solver silently falls back to 1), and a
+    #: pack runs while ANY of its lanes is active, so straggler chunks do
+    #: up to `chunk_lanes` x the minimal work (irrelevant at fleet sizes
+    #: where stragglers are <1% of lanes). 1 = the conservative default.
+    chunk_lanes: int = 1
     #: Record per-check residuals/rho into SolveInfo.history (device-side
     #: trace buffers of shape (num_checks, *B)).
     record_history: bool = False

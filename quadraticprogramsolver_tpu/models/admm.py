@@ -147,13 +147,15 @@ def _run_chunk(qp: QP, settings: Settings, backend, state: SolverState):
         else:
             Gop = state.kkt_cache["G" if sigma_free else "M_inv"]
         gvec = state.kkt_cache["g"] if sigma_free else None
+        B = state.x.shape[0]
+        lanes = settings.chunk_lanes if B % settings.chunk_lanes == 0 else 1
         x, z, y, xp, zp, Ax, ATy = fused_admm_chunk(
             Gop,
             qp.A, qp.P, qp.q, qp.l, qp.u,
             state.x, state.z, state.y, rho_row, active,
             K=settings.check_interval, alpha=settings.alpha,
             sigma=settings.sigma_for(jnp.float32), refine=settings.kkt_refinement_steps,
-            sigma_free=sigma_free, slab=slab,
+            sigma_free=sigma_free, slab=slab, lanes=lanes,
             g=gvec,
             interpret=jax.default_backend() != "tpu")
         return x, z, y, xp, zp, state.kkt_cache, (Ax, ATy)

@@ -269,6 +269,27 @@ def test_fused_factor_end_to_end_solve():
     assert dev <= 1e-3, dev
 
 
+def test_chunk_lanes_end_to_end():
+    """Settings.chunk_lanes interleaving must not change the solve (modulo
+    pack predication: a frozen lane inside an active pack passes through
+    bit-identically), and non-divisible batches fall back to lanes=1."""
+    fleet = qps.generate_batch(qps.ProblemClass.RANDOM_QP, 6, 128, seed=5,
+                               dtype=np.float32)
+    base = qps.Settings(max_iterations=1000, eps_abs=1e-5, eps_rel=1e-5,
+                        rho=0.4, adaptive_rho=False, sigma_free_rhs=True,
+                        kkt_refinement_steps=0, fused_chunk=True,
+                        fused_factor=True)
+    s0 = qps.solve_jit(fleet, base)
+    for lanes in (2, 4):  # 4 does not divide 6 -> fallback path
+        sL = qps.solve_jit(fleet, dataclasses.replace(base, chunk_lanes=lanes))
+        np.testing.assert_array_equal(np.asarray(sL.info.status),
+                                      np.asarray(s0.info.status))
+        np.testing.assert_array_equal(np.asarray(sL.info.iterations),
+                                      np.asarray(s0.info.iterations))
+        dev = np.abs(np.asarray(sL.x) - np.asarray(s0.x)).max()
+        assert dev == 0.0, (lanes, dev)
+
+
 def test_slab_cache_matches_sliced_cache():
     """Settings.slab_cache: the fused chunk reading G through a block
     window into the factor slab (plus the lazy g column slice) must
