@@ -84,6 +84,9 @@ def main(argv=None):
                    help="exact-ALM column cache {Ga, Gc, g} instead of the "
                         "explicit M^{-1} (ProxQPSettings.sigma_free_rhs) — "
                         "the config that fits B=4096 in HBM; forces refine=0")
+    p.add_argument("--lanes", type=int, default=1,
+                   help="ProxQPSettings.chunk_lanes — lanes interleaved per "
+                        "grid step of the fused chunk kernel")
     args = p.parse_args(argv)
     if args.sigma_free:
         args.refine = 0
@@ -110,7 +113,7 @@ def main(argv=None):
             adaptive_rho=not args.no_adapt, kkt_warm_start=False,
             kkt_refinement_steps=args.refine, check_interval=args.ci,
             sigma_free_rhs=args.sigma_free,
-            fused_chunk=on_tpu)
+            fused_chunk=on_tpu, chunk_lanes=args.lanes)
         sol = proxqp.solve_jit(prob, st)   # compile + warmup
         hard_sync(sol.x)
         dt = None
@@ -164,7 +167,7 @@ def main(argv=None):
         "benchmark": "proxqp_fleet", "batch": args.batch, "n": args.n,
         "me": args.me, "mi": args.mi, "eps": args.eps, "rho": best_rho,
         "refine": args.refine, "check_interval": args.ci,
-        "adaptive_rho": not args.no_adapt,
+        "adaptive_rho": not args.no_adapt, "chunk_lanes": args.lanes,
         "iters_p50": float(np.median(iters_all)),
         "iters_max": int(iters_all.max()),
         "converged": int(conv_mask.sum()),

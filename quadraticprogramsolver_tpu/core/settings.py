@@ -297,6 +297,10 @@ class ProxQPSettings:
     #: requires f32, one batch axis, and n / n_eq / n_ineq nonzero multiples
     #: of 128). Falls back to the XLA chunk otherwise.
     fused_chunk: bool = False
+    #: Lanes interleaved per grid step of the fused prox-ALM chunk kernel
+    #: (see Settings.chunk_lanes — same overlap rationale and costs;
+    #: non-divisible batches fall back to 1).
+    chunk_lanes: int = 1
     #: Initialize from the equality-KKT solve as the reference does
     #: (ProxQP.jl:80-90). False starts from zeros — faster at loose
     #: tolerances on TPU fleets (the batched LU costs more than the saved

@@ -369,12 +369,16 @@ def _solve_impl(prob, settings: ProxQPSettings, init,
         if fused_ok:
             from ..ops.fused_proxqp import fused_proxqp_chunk
 
+            B_ = x.shape[0]
+            lanes = (settings.chunk_lanes
+                     if B_ % settings.chunk_lanes == 0 else 1)
             x, s, y, z = fused_proxqp_chunk(
                 factor if not sigma_free else factor["Ga"],
                 prob.A, prob.C, prob.P, prob.q, prob.b, prob.d,
                 x, s, y, z, rho, active,
                 K=settings.check_interval, sigma=settings.sigma,
                 refine=settings.kkt_refinement_steps,
+                lanes=lanes,
                 sigma_free=sigma_free,
                 Gc=factor["Gc"] if sigma_free else None,
                 g=factor["g"] if sigma_free else None,

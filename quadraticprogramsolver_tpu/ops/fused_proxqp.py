@@ -29,7 +29,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _chunk_kernel(rho_all_ref, active_all_ref,      # scalar-prefetch (B,)
-                  *refs, K: int, sigma: float, refine: int,
+                  *refs, K: int, sigma: float, refine: int, lanes: int,
                   sigma_free: bool = False):
     Gc_ref = g_ref = None
     if sigma_free:
@@ -52,29 +52,33 @@ def _chunk_kernel(rho_all_ref, active_all_ref,      # scalar-prefetch (B,)
          xo_ref, so_ref, yo_ref, zo_ref) = refs
         P_ref = None
     f32 = jnp.float32
-    g = pl.program_id(0)
-    rho = rho_all_ref[g]
-    active = active_all_ref[g] != 0
+    gidx = pl.program_id(0)
+    L = lanes
+    rho = [rho_all_ref[gidx * L + i] for i in range(L)]
+    act = [active_all_ref[gidx * L + i] != 0 for i in range(L)]
+    any_active = act[0]
+    for a in act[1:]:
+        any_active = jnp.logical_or(any_active, a)
     sg = jnp.asarray(sigma, f32)
 
-    @pl.when(jnp.logical_not(active))
+    @pl.when(jnp.logical_not(any_active))
     def _():
         xo_ref[:] = x_ref[:]
         so_ref[:] = s_ref[:]
         yo_ref[:] = y_ref[:]
         zo_ref[:] = z_ref[:]
 
-    @pl.when(active)
+    @pl.when(any_active)
     def _():
-        Minv = Minv_ref[0]        # Ga (n, me) when sigma_free
-        A = A_ref[0]
-        C = C_ref[0]
-        q = None if sigma_free else q_ref[0]
-        Gc = Gc_ref[0] if sigma_free else None
-        g = g_ref[0] if sigma_free else None
-        b = b_ref[0]
-        d = d_ref[0]
-        rho_inv = 1.0 / rho
+        Minv = [Minv_ref[i] for i in range(L)]  # Ga (n, me) when sigma_free
+        A = [A_ref[i] for i in range(L)]
+        C = [C_ref[i] for i in range(L)]
+        q = None if sigma_free else [q_ref[i] for i in range(L)]
+        Gc = [Gc_ref[i] for i in range(L)] if sigma_free else None
+        g = [g_ref[i] for i in range(L)] if sigma_free else None
+        b = [b_ref[i] for i in range(L)]
+        d = [d_ref[i] for i in range(L)]
+        rho_inv = [1.0 / r for r in rho]
         hi = jax.lax.Precision.HIGHEST
 
         def dot(a, bb, dims):
@@ -83,41 +87,62 @@ def _chunk_kernel(rho_all_ref, active_all_ref,      # scalar-prefetch (B,)
                 precision=hi)
 
         def body(_, carry):
+            # Stage-interleaved across lanes (same discipline as
+            # ops/fused_admm.py): each stage emits L independent dots
+            # back-to-back so the MXU pipeline stays fed between the
+            # otherwise-dependent (1, n) products of a single lane.
             x, s, y, z = carry
             if sigma_free:
-                x = (dot(rho * b - y, Minv, ((1,), (1,)))
-                     + dot(rho * (d - s) - z, Gc, ((1,), (1,))) - g)
+                x = tuple(
+                    dot(rho[i] * b[i] - y[i], Minv[i], ((1,), (1,)))
+                    + dot(rho[i] * (d[i] - s[i]) - z[i], Gc[i], ((1,), (1,)))
+                    - g[i]
+                    for i in range(L))
             else:
-                r = (-q + sg * x
-                     + dot(rho * b - y, A, ((1,), (0,)))
-                     + dot(rho * (d - s) - z, C, ((1,), (0,))))
-                x = dot(r, Minv, ((1,), (0,)))
+                r = [(-q[i] + sg * x[i]
+                      + dot(rho[i] * b[i] - y[i], A[i], ((1,), (0,)))
+                      + dot(rho[i] * (d[i] - s[i]) - z[i], C[i],
+                            ((1,), (0,))))
+                     for i in range(L)]
+                x = [dot(r[i], Minv[i], ((1,), (0,))) for i in range(L)]
                 for _i in range(refine):
-                    Ax_ = dot(x, A, ((1,), (1,)))
-                    Cx_ = dot(x, C, ((1,), (1,)))
-                    Mx = (dot(x, P_ref[0], ((1,), (0,))) + sg * x
-                          + rho * (dot(Ax_, A, ((1,), (0,)))
-                                   + dot(Cx_, C, ((1,), (0,)))))
-                    x = x + dot(r - Mx, Minv, ((1,), (0,)))
-            Cx = dot(x, C, ((1,), (1,)))
-            Ax = dot(x, A, ((1,), (1,)))
-            s = jnp.maximum(d - Cx - rho_inv * z, 0.0)
-            y = y + rho * (Ax - b)
-            z = jnp.maximum(z + rho * (Cx - d + s), 0.0)
+                    Ax_ = [dot(x[i], A[i], ((1,), (1,))) for i in range(L)]
+                    Cx_ = [dot(x[i], C[i], ((1,), (1,))) for i in range(L)]
+                    Mx = [(dot(x[i], P_ref[i], ((1,), (0,))) + sg * x[i]
+                           + rho[i] * (dot(Ax_[i], A[i], ((1,), (0,)))
+                                       + dot(Cx_[i], C[i], ((1,), (0,)))))
+                          for i in range(L)]
+                    x = [x[i] + dot(r[i] - Mx[i], Minv[i], ((1,), (0,)))
+                         for i in range(L)]
+                x = tuple(x)
+            Cx = [dot(x[i], C[i], ((1,), (1,))) for i in range(L)]
+            Ax = [dot(x[i], A[i], ((1,), (1,))) for i in range(L)]
+            s = tuple(jnp.maximum(d[i] - Cx[i] - rho_inv[i] * z[i], 0.0)
+                      for i in range(L))
+            y = tuple(y[i] + rho[i] * (Ax[i] - b[i]) for i in range(L))
+            z = tuple(jnp.maximum(z[i] + rho[i] * (Cx[i] - d[i] + s[i]), 0.0)
+                      for i in range(L))
             return x, s, y, z
 
-        x, s, y, z = jax.lax.fori_loop(
-            0, K, body, (x_ref[0], s_ref[0], y_ref[0], z_ref[0]))
-        xo_ref[0] = x
-        so_ref[0] = s
-        yo_ref[0] = y
-        zo_ref[0] = z
+        x0 = tuple(x_ref[i] for i in range(L))
+        s0 = tuple(s_ref[i] for i in range(L))
+        y0 = tuple(y_ref[i] for i in range(L))
+        z0 = tuple(z_ref[i] for i in range(L))
+        x, s, y, z = jax.lax.fori_loop(0, K, body, (x0, s0, y0, z0))
+        for i in range(L):
+            # Per-lane predication within the pack: frozen lanes pass
+            # through bit-identically.
+            xo_ref[i] = jnp.where(act[i], x[i], x_ref[i])
+            so_ref[i] = jnp.where(act[i], s[i], s_ref[i])
+            yo_ref[i] = jnp.where(act[i], y[i], y_ref[i])
+            zo_ref[i] = jnp.where(act[i], z[i], z_ref[i])
 
 
-@functools.partial(jax.jit, static_argnames=("K", "sigma", "refine",
+@functools.partial(jax.jit, static_argnames=("K", "sigma", "refine", "lanes",
                                              "sigma_free", "interpret"))
 def fused_proxqp_chunk(Minv, A, C, P, q, b, d, x, s, y, z, rho, active,
                        *, K: int, sigma: float, refine: int = 0,
+                       lanes: int = 1,
                        sigma_free: bool = False, Gc=None, g=None,
                        interpret: bool = False):
     """Run K fused prox-ALM iterations for every active lane.
@@ -140,20 +165,22 @@ def fused_proxqp_chunk(Minv, A, C, P, q, b, d, x, s, y, z, rho, active,
         raise ValueError(
             f"fused proxqp chunk needs n, n_eq, n_ineq nonzero multiples of "
             f"128; got {(n, me, mi)}")
+    if B % lanes:
+        raise ValueError(f"batch {B} not divisible by lanes={lanes}")
     f32 = jnp.float32
     kernel = functools.partial(_chunk_kernel, K=K, sigma=sigma, refine=refine,
-                               sigma_free=sigma_free)
+                               lanes=lanes, sigma_free=sigma_free)
 
-    mat = lambda r, c: pl.BlockSpec((1, r, c), lambda g, *_: (g, 0, 0),
+    mat = lambda r, c: pl.BlockSpec((lanes, r, c), lambda g, *_: (g, 0, 0),
                                     memory_space=pltpu.VMEM)
-    vec = lambda c: pl.BlockSpec((1, 1, c), lambda g, *_: (g, 0, 0),
+    vec = lambda c: pl.BlockSpec((lanes, 1, c), lambda g, *_: (g, 0, 0),
                                  memory_space=pltpu.VMEM)
 
     out = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,  # rho and active, read per program_id
-            grid=(B,),
+            grid=(B // lanes,),
             in_specs=(
                 [mat(n, me) if sigma_free else mat(n, n),
                  mat(me, n), mat(mi, n)]

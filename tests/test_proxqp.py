@@ -165,6 +165,29 @@ def test_proxqp_fused_chunk_matches_xla():
     assert dev <= 1e-4, dev
 
 
+def test_proxqp_chunk_lanes_match():
+    import dataclasses
+
+    import jax
+
+    # ProxQPSettings.chunk_lanes interleaving must reproduce the lanes=1
+    # fused solve bit-identically (pack predication passes frozen lanes
+    # through); 4 does not divide B=6 -> silent fallback to 1.
+    probs = [_random_split_problem(n=128, me=128, mi=128, seed=s,
+                                   dtype=np.float32) for s in range(6)]
+    batched = jax.tree.map(lambda *xs: np.stack(xs), *probs)
+    st1 = qps.ProxQPSettings(max_iterations=500, eps_abs=1e-5, eps_rel=1e-5,
+                             fused_chunk=True)
+    s1 = proxqp.solve_jit(batched, st1)
+    for lanes in (2, 4):
+        sL = proxqp.solve_jit(
+            batched, dataclasses.replace(st1, chunk_lanes=lanes))
+        np.testing.assert_array_equal(np.asarray(sL.info.iterations),
+                                      np.asarray(s1.info.iterations))
+        dev = np.abs(np.asarray(sL.x) - np.asarray(s1.x)).max()
+        assert dev == 0.0, (lanes, dev)
+
+
 def test_proxqp_fused_chunk_pads_unaligned_dims():
     import jax
 
