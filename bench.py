@@ -134,7 +134,13 @@ def main():
         eps_rel=1e-4,
         rho=0.4,
         adaptive_rho=True,
-        check_interval=13,
+        # ci=12 aligns exits with the family's true convergence cluster
+        # (ci=1 probe: p10 20 / p50 21 / p90 22 / max 23 at B=64) — exits
+        # at 24/36 instead of 26/39. On-chip sweep at B=4096 slab+lanes:
+        # ci 13 -> 11,724, 11 -> 12,118, 12 -> 12,142, 21 -> 11,290,
+        # 22 -> 11,909 solves/s. (rho/alpha re-swept round 4: 0.4/1.6
+        # still optimal — alpha 1.7/1.8 cost +50/+100% iterations.)
+        check_interval=12,
         kkt_refinement_steps=0,
         sigma_free_rhs=True,
         fused_chunk=on_tpu,
