@@ -169,11 +169,19 @@ def main():
     # runs 10,147/s — both stages slow down super-linearly near HBM
     # capacity (factor 190->235 ms, iterate 169->194). Plain 4096/3072/
     # 2048 are the fallbacks if the slab fleet fails.
+    # chunk_dot_precision="high": manual 3-pass bf16x3 iterate dots inside
+    # the chunk kernel (the chunk is MXU-pass-bound; 86.1 -> 62.3 ms per
+    # 12-iter chunk). Identical iteration counts (p50 24 max 36) and the
+    # 16-lane audit verifies accuracy below. Needs lanes=2 (the bf16
+    # halves double resident VMEM; lanes=4+high fails compile).
     slab_settings = dataclasses.replace(
+        settings, adaptive_rho=False, slab_cache=True,
+        chunk_lanes=2, chunk_dot_precision="high") if on_tpu else settings
+    slab_hi = dataclasses.replace(
         settings, adaptive_rho=False, slab_cache=True) if on_tpu else settings
-    ladder = [(4096, True), (4096, False), (3072, False), (2048, False)]
-    for batch, use_slab in ladder:
-        st_b = slab_settings if (use_slab and on_tpu) else settings
+    ladder = [(4096, slab_settings), (4096, slab_hi), (4096, settings),
+              (3072, settings), (2048, settings)]
+    for batch, st_b in ladder:
         try:
             t0 = time.perf_counter()
             qp = device_random_qp_fleet(batch, N, M, SEED)

@@ -126,6 +126,18 @@ class Settings:
     #: up to `chunk_lanes` x the minimal work (irrelevant at fleet sizes
     #: where stragglers are <1% of lanes). 1 = the conservative default.
     chunk_lanes: int = 1
+    #: MXU passes for the fused chunk's ITERATE dots (check products stay
+    #: HIGHEST). "highest" = 6-pass full f32. "high" = manual 3-pass
+    #: bf16x3 split written inside the kernel (Mosaic rejects XLA's HIGH,
+    #: but ah*bh + ah*bl + al*bh by hand lowers fine) — the chunk is
+    #: MXU-pass-bound, measured 86.1 -> 62.3 ms per 12-iteration chunk at
+    #: B=4096/lanes=2, with 8e-6 relative iterate deviation after 12
+    #: coupled iterations (~f32; the dropped lo*lo term is ~2^-32).
+    #: Requires sigma_free_rhs + fused_chunk; lanes=4 with "high" exceeds
+    #: VMEM (the bf16 halves double the resident matrix bytes) — use
+    #: lanes=2. Off ("highest") by default: opt in per workload and check
+    #: the audit, as the reference's accuracy discipline demands.
+    chunk_dot_precision: str = "highest"
     #: Record per-check residuals/rho into SolveInfo.history (device-side
     #: trace buffers of shape (num_checks, *B)).
     record_history: bool = False

@@ -156,6 +156,8 @@ def _run_chunk(qp: QP, settings: Settings, backend, state: SolverState):
             K=settings.check_interval, alpha=settings.alpha,
             sigma=settings.sigma_for(jnp.float32), refine=settings.kkt_refinement_steps,
             sigma_free=sigma_free, slab=slab, lanes=lanes,
+            dot_precision=(settings.chunk_dot_precision if sigma_free
+                           else "highest"),
             g=gvec,
             interpret=jax.default_backend() != "tpu")
         return x, z, y, xp, zp, state.kkt_cache, (Ax, ATy)

@@ -46,7 +46,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 def _chunk_kernel(active_all_ref,                   # scalar-prefetch (B,) SMEM
                   *refs, K: int, alpha: float, sigma: float, refine: int,
-                  lanes: int, sigma_free: bool = False):
+                  lanes: int, sigma_free: bool = False,
+                  dot_precision: str = "highest"):
     # P is only an operand (and only DMA'd) when refinement is on.
     g_ref = None
     if sigma_free:
@@ -79,13 +80,42 @@ def _chunk_kernel(active_all_ref,                   # scalar-prefetch (B,) SMEM
     sg = jnp.asarray(sigma, f32)
 
     # Precision pinned: the ambient default_matmul_precision may be
-    # HIGH (bf16x3), which Mosaic's dot lowering does not implement.
-    hi = jax.lax.Precision.HIGHEST
+    # HIGH (bf16x3), which Mosaic's dot lowering does not implement — but
+    # the 3-pass split CAN be written by hand (dot_precision="high"
+    # below), and the chunk is MXU-pass-bound: measured on-chip at
+    # B=4096/lanes=4/K=12, HIGHEST (6 passes) 98.9 ms, DEFAULT (1 pass)
+    # 43.1 ms. "default" (one bf16 pass) is exposed for probes only — at
+    # the 1e-4 bar iterates stall around the bf16 matvec error.
+    hi = (jax.lax.Precision.DEFAULT if dot_precision == "default"
+          else jax.lax.Precision.HIGHEST)
 
     def dot(a, b, dims):
         return jax.lax.dot_general(
             a, b, (dims, ((), ())), preferred_element_type=f32,
             precision=hi)
+
+    # Manual bf16x3: a*b ~= ah*bh + ah*bl + al*bh with x = xh + xl split
+    # into two bf16 halves (the lo*lo term is ~2^-32 relative, dropped).
+    # Three 1-pass MXU dots instead of HIGHEST's six; ~f32 accuracy for
+    # the well-conditioned iterate matvecs. The matrix halves are split
+    # ONCE per grid step (loop-invariant); only the (1, len) vector is
+    # split per iteration.
+    bf16 = jnp.bfloat16
+
+    def _split(v):
+        vh = v.astype(bf16)
+        return vh, (v - vh.astype(f32)).astype(bf16)
+
+    def _dot1(a, b, dims):
+        return jax.lax.dot_general(
+            a, b, (dims, ((), ())), preferred_element_type=f32,
+            precision=jax.lax.Precision.DEFAULT)
+
+    def dot3(v, mat_split, dims):
+        vh, vl = _split(v)
+        mh, ml = mat_split
+        return (_dot1(vh, mh, dims) + _dot1(vh, ml, dims)
+                + _dot1(vl, mh, dims))
 
     @pl.when(jnp.logical_not(any_active))
     def _():
@@ -105,13 +135,20 @@ def _chunk_kernel(active_all_ref,                   # scalar-prefetch (B,) SMEM
         up = [u_ref[i] for i in range(L)]
         rho = [rho_ref[i] for i in range(L)]   # (1, m) per-constraint penalties
         rho_inv = [1.0 / r for r in rho]
+        high = dot_precision == "high"
+        if high:  # loop-invariant bf16 halves, split once per grid step
+            G_sp = [_split(Minv[i]) for i in range(L)]
+            A_sp = [_split(A[i]) for i in range(L)]
 
         def body(_, carry):
             x, z, y = carry[0], carry[1], carry[2]
             # Stage-interleaved across lanes: each stage emits L independent
             # dots back-to-back so the MXU pipeline stays fed.
             t = [rho[i] * z[i] - y[i] for i in range(L)]               # (1, m)
-            if sigma_free:
+            if sigma_free and high:
+                xx = [dot3(t[i], G_sp[i], ((1,), (1,))) - g[i]
+                      for i in range(L)]                               # (1, n)
+            elif sigma_free:
                 xx = [dot(t[i], Minv[i], ((1,), (1,))) - g[i]
                       for i in range(L)]                               # (1, n)
             else:
@@ -126,7 +163,10 @@ def _chunk_kernel(active_all_ref,                   # scalar-prefetch (B,) SMEM
                        for i in range(L)]
                 xx = [xx[i] + dot(rhs[i] - Mxx[i], Minv[i], ((1,), (0,)))
                       for i in range(L)]
-            zz = [dot(xx[i], A[i], ((1,), (1,))) for i in range(L)]
+            if high:
+                zz = [dot3(xx[i], A_sp[i], ((1,), (1,))) for i in range(L)]
+            else:
+                zz = [dot(xx[i], A[i], ((1,), (1,))) for i in range(L)]
             xp, zp = x, z
             x = tuple(al * xx[i] + al1 * xp[i] for i in range(L))
             z = tuple(jnp.clip(al * zz[i] + al1 * zp[i] + rho_inv[i] * y[i],
@@ -162,11 +202,11 @@ def _chunk_kernel(active_all_ref,                   # scalar-prefetch (B,) SMEM
 @functools.partial(
     jax.jit,
     static_argnames=("K", "alpha", "sigma", "refine", "lanes", "sigma_free",
-                     "slab", "interpret"))
+                     "slab", "dot_precision", "interpret"))
 def fused_admm_chunk(Minv, A, P, q, l, u, x, z, y, rho_row, active,
                      *, K: int, alpha: float, sigma: float, refine: int = 0,
                      lanes: int = 1, sigma_free: bool = False,
-                     slab: bool = False,
+                     slab: bool = False, dot_precision: str = "highest",
                      interpret: bool = False, g=None):
     """Run K fused ADMM iterations for every active lane.
 
@@ -204,8 +244,12 @@ def fused_admm_chunk(Minv, A, P, q, l, u, x, z, y, rho_row, active,
     f32 = jnp.float32
     kernel = functools.partial(_chunk_kernel, K=K, alpha=alpha, sigma=sigma,
                                refine=refine, lanes=lanes,
-                               sigma_free=sigma_free)
+                               sigma_free=sigma_free,
+                               dot_precision=dot_precision)
 
+    if dot_precision == "high" and not sigma_free:
+        raise ValueError("dot_precision='high' (manual bf16x3) is "
+                         "implemented for the sigma-free path only")
     if slab and not sigma_free:
         raise ValueError("slab windows apply to the sigma-free G cache only")
     if slab and Minv.shape[-1] < m:

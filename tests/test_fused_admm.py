@@ -290,6 +290,41 @@ def test_chunk_lanes_end_to_end():
         assert dev == 0.0, (lanes, dev)
 
 
+def test_chunk_dot_precision_high_converges_close():
+    """chunk_dot_precision="high" (manual in-kernel bf16x3 iterate dots)
+    must converge with the same statuses and land within f32-roundoff
+    distance of the HIGHEST solve (NOT bitwise — 3 passes drop the lo*lo
+    term); the wrapper rejects it off the sigma-free path."""
+    from quadraticprogramsolver_tpu.ops import fused_admm
+
+    fleet = qps.generate_batch(qps.ProblemClass.RANDOM_QP, 4, 128, seed=5,
+                               dtype=np.float32)
+    base = qps.Settings(max_iterations=1000, eps_abs=1e-5, eps_rel=1e-5,
+                        rho=0.4, adaptive_rho=False, sigma_free_rhs=True,
+                        kkt_refinement_steps=0, fused_chunk=True,
+                        fused_factor=True)
+    s0 = qps.solve_jit(fleet, base)
+    s1 = qps.solve_jit(fleet, dataclasses.replace(
+        base, chunk_dot_precision="high"))
+    np.testing.assert_array_equal(np.asarray(s1.info.status),
+                                  np.asarray(s0.info.status))
+    assert (np.asarray(s1.info.status) >= 2).all()
+    dev = np.abs(np.asarray(s1.x) - np.asarray(s0.x)).max()
+    scale = np.abs(np.asarray(s0.x)).max()
+    assert dev <= 1e-3 * max(scale, 1.0), (dev, scale)
+
+    import pytest
+
+    with pytest.raises(ValueError, match="sigma-free"):
+        fused_admm.fused_admm_chunk(
+            jnp.zeros((2, 128, 128)), jnp.zeros((2, 128, 128)),
+            jnp.zeros((2, 128, 128)), jnp.zeros((2, 128)),
+            -jnp.ones((2, 128)), jnp.ones((2, 128)), jnp.zeros((2, 128)),
+            jnp.zeros((2, 128)), jnp.zeros((2, 128)), jnp.ones((2, 128)),
+            jnp.ones((2,), jnp.int32), K=2, alpha=1.6, sigma=1e-6,
+            dot_precision="high", interpret=True)
+
+
 def test_slab_cache_matches_sliced_cache():
     """Settings.slab_cache: the fused chunk reading G through a block
     window into the factor slab (plus the lazy g column slice) must
