@@ -87,6 +87,10 @@ def main(argv=None):
     p.add_argument("--lanes", type=int, default=1,
                    help="ProxQPSettings.chunk_lanes — lanes interleaved per "
                         "grid step of the fused chunk kernel")
+    p.add_argument("--dot-high", action="store_true",
+                   help="ProxQPSettings.chunk_dot_precision='high' — manual "
+                        "3-pass bf16x3 iterate dots (needs --sigma-free; "
+                        "pair with --lanes 2)")
     args = p.parse_args(argv)
     if args.sigma_free:
         args.refine = 0
@@ -113,7 +117,8 @@ def main(argv=None):
             adaptive_rho=not args.no_adapt, kkt_warm_start=False,
             kkt_refinement_steps=args.refine, check_interval=args.ci,
             sigma_free_rhs=args.sigma_free,
-            fused_chunk=on_tpu, chunk_lanes=args.lanes)
+            fused_chunk=on_tpu, chunk_lanes=args.lanes,
+            chunk_dot_precision="high" if args.dot_high else "highest")
         sol = proxqp.solve_jit(prob, st)   # compile + warmup
         hard_sync(sol.x)
         dt = None
@@ -168,6 +173,7 @@ def main(argv=None):
         "me": args.me, "mi": args.mi, "eps": args.eps, "rho": best_rho,
         "refine": args.refine, "check_interval": args.ci,
         "adaptive_rho": not args.no_adapt, "chunk_lanes": args.lanes,
+        "chunk_dot_precision": "high" if args.dot_high else "highest",
         "iters_p50": float(np.median(iters_all)),
         "iters_max": int(iters_all.max()),
         "converged": int(conv_mask.sum()),

@@ -313,6 +313,16 @@ class ProxQPSettings:
     #: (see Settings.chunk_lanes — same overlap rationale and costs;
     #: non-divisible batches fall back to 1).
     chunk_lanes: int = 1
+    #: Manual 3-pass bf16x3 iterate dots inside the fused prox chunk (see
+    #: Settings.chunk_dot_precision — same trick, same costs; requires
+    #: sigma_free_rhs; pair with chunk_lanes<=2). MORE workload-dependent
+    #: than the ADMM knob: prox-ALM drives rho up and feeds the split
+    #: error into the inner solve, so sub-1e-4 tolerances can stall
+    #: (measured: the B=4096 fleet at eps 5e-5/static rho 0.03 converges
+    #: — 5,955 -> 6,865 solves/s, audit 7.1e-5 — while the adaptive-rho
+    #: CPU test family plateaus at res_prim ~3e-4). Check convergence and
+    #: the audit on YOUR workload before enabling. Off by default.
+    chunk_dot_precision: str = "highest"
     #: Initialize from the equality-KKT solve as the reference does
     #: (ProxQP.jl:80-90). False starts from zeros — faster at loose
     #: tolerances on TPU fleets (the batched LU costs more than the saved

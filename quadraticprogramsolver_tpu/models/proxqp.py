@@ -379,6 +379,8 @@ def _solve_impl(prob, settings: ProxQPSettings, init,
                 K=settings.check_interval, sigma=settings.sigma,
                 refine=settings.kkt_refinement_steps,
                 lanes=lanes,
+                dot_precision=(settings.chunk_dot_precision if sigma_free
+                               else "highest"),
                 sigma_free=sigma_free,
                 Gc=factor["Gc"] if sigma_free else None,
                 g=factor["g"] if sigma_free else None,

@@ -30,7 +30,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 def _chunk_kernel(rho_all_ref, active_all_ref,      # scalar-prefetch (B,)
                   *refs, K: int, sigma: float, refine: int, lanes: int,
-                  sigma_free: bool = False):
+                  sigma_free: bool = False, dot_precision: str = "highest"):
     Gc_ref = g_ref = None
     if sigma_free:
         # Column cache {Ga, Gc, g} instead of M^{-1} (see
@@ -86,13 +86,49 @@ def _chunk_kernel(rho_all_ref, active_all_ref,      # scalar-prefetch (B,)
                 a, bb, (dims, ((), ())), preferred_element_type=f32,
                 precision=hi)
 
+        # Manual bf16x3 (see ops/fused_admm.py — the chunk is MXU-pass-
+        # bound; Mosaic rejects XLA's HIGH but the 3-pass split by hand
+        # lowers fine). Matrix halves split once per grid step; vectors
+        # per use. Implemented for the sigma-free path only.
+        bf16 = jnp.bfloat16
+
+        def _split(v):
+            vh = v.astype(bf16)
+            return vh, (v - vh.astype(f32)).astype(bf16)
+
+        def _dot1(a, bb, dims):
+            return jax.lax.dot_general(
+                a, bb, (dims, ((), ())), preferred_element_type=f32,
+                precision=jax.lax.Precision.DEFAULT)
+
+        def dot3s(v_split, m_split, dims):
+            vh, vl = v_split
+            mh, ml = m_split
+            return (_dot1(vh, mh, dims) + _dot1(vh, ml, dims)
+                    + _dot1(vl, mh, dims))
+
+        high = dot_precision == "high" and sigma_free
+        if high:
+            Ga_sp = [_split(Minv[i]) for i in range(L)]
+            Gc_sp = [_split(Gc[i]) for i in range(L)]
+            A_sp = [_split(A[i]) for i in range(L)]
+            C_sp = [_split(C[i]) for i in range(L)]
+
         def body(_, carry):
             # Stage-interleaved across lanes (same discipline as
             # ops/fused_admm.py): each stage emits L independent dots
             # back-to-back so the MXU pipeline stays fed between the
             # otherwise-dependent (1, n) products of a single lane.
             x, s, y, z = carry
-            if sigma_free:
+            if high:
+                x = tuple(
+                    dot3s(_split(rho[i] * b[i] - y[i]), Ga_sp[i],
+                          ((1,), (1,)))
+                    + dot3s(_split(rho[i] * (d[i] - s[i]) - z[i]), Gc_sp[i],
+                            ((1,), (1,)))
+                    - g[i]
+                    for i in range(L))
+            elif sigma_free:
                 x = tuple(
                     dot(rho[i] * b[i] - y[i], Minv[i], ((1,), (1,)))
                     + dot(rho[i] * (d[i] - s[i]) - z[i], Gc[i], ((1,), (1,)))
@@ -115,8 +151,13 @@ def _chunk_kernel(rho_all_ref, active_all_ref,      # scalar-prefetch (B,)
                     x = [x[i] + dot(r[i] - Mx[i], Minv[i], ((1,), (0,)))
                          for i in range(L)]
                 x = tuple(x)
-            Cx = [dot(x[i], C[i], ((1,), (1,))) for i in range(L)]
-            Ax = [dot(x[i], A[i], ((1,), (1,))) for i in range(L)]
+            if high:
+                xs = [_split(x[i]) for i in range(L)]
+                Cx = [dot3s(xs[i], C_sp[i], ((1,), (1,))) for i in range(L)]
+                Ax = [dot3s(xs[i], A_sp[i], ((1,), (1,))) for i in range(L)]
+            else:
+                Cx = [dot(x[i], C[i], ((1,), (1,))) for i in range(L)]
+                Ax = [dot(x[i], A[i], ((1,), (1,))) for i in range(L)]
             s = tuple(jnp.maximum(d[i] - Cx[i] - rho_inv[i] * z[i], 0.0)
                       for i in range(L))
             y = tuple(y[i] + rho[i] * (Ax[i] - b[i]) for i in range(L))
@@ -139,11 +180,13 @@ def _chunk_kernel(rho_all_ref, active_all_ref,      # scalar-prefetch (B,)
 
 
 @functools.partial(jax.jit, static_argnames=("K", "sigma", "refine", "lanes",
-                                             "sigma_free", "interpret"))
+                                             "sigma_free", "dot_precision",
+                                             "interpret"))
 def fused_proxqp_chunk(Minv, A, C, P, q, b, d, x, s, y, z, rho, active,
                        *, K: int, sigma: float, refine: int = 0,
                        lanes: int = 1,
                        sigma_free: bool = False, Gc=None, g=None,
+                       dot_precision: str = "highest",
                        interpret: bool = False):
     """Run K fused prox-ALM iterations for every active lane.
 
@@ -167,9 +210,13 @@ def fused_proxqp_chunk(Minv, A, C, P, q, b, d, x, s, y, z, rho, active,
             f"128; got {(n, me, mi)}")
     if B % lanes:
         raise ValueError(f"batch {B} not divisible by lanes={lanes}")
+    if dot_precision == "high" and not sigma_free:
+        raise ValueError("dot_precision='high' (manual bf16x3) is "
+                         "implemented for the sigma-free path only")
     f32 = jnp.float32
     kernel = functools.partial(_chunk_kernel, K=K, sigma=sigma, refine=refine,
-                               lanes=lanes, sigma_free=sigma_free)
+                               lanes=lanes, sigma_free=sigma_free,
+                               dot_precision=dot_precision)
 
     mat = lambda r, c: pl.BlockSpec((lanes, r, c), lambda g, *_: (g, 0, 0),
                                     memory_space=pltpu.VMEM)

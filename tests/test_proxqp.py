@@ -188,6 +188,33 @@ def test_proxqp_chunk_lanes_match():
         assert dev == 0.0, (lanes, dev)
 
 
+def test_proxqp_chunk_dot_precision_high():
+    import dataclasses
+
+    import jax
+
+    # Manual bf16x3 iterate dots: converges at a 1e-4 tolerance (possibly
+    # with extra iterations — the split noise is ~1e-5 relative per
+    # chunk, so sub-1e-4 tolerances on this family STALL: measured
+    # res_prim plateau 3e-4 at eps 1e-5; that negative is why the knob is
+    # workload-dependent opt-in) and lands within 1e-3 of the HIGHEST
+    # solve.
+    probs = [_random_split_problem(n=128, me=128, mi=128, seed=s,
+                                   dtype=np.float32) for s in (0, 1)]
+    batched = jax.tree.map(lambda *xs: np.stack(xs), *probs)
+    st = qps.ProxQPSettings(max_iterations=500, eps_abs=1e-4, eps_rel=1e-4,
+                            fused_chunk=True, sigma_free_rhs=True,
+                            kkt_refinement_steps=0)
+    s0 = proxqp.solve_jit(batched, st)
+    s1 = proxqp.solve_jit(batched, dataclasses.replace(
+        st, chunk_dot_precision="high", chunk_lanes=2))
+    assert np.asarray(s0.info.converged).all()
+    assert np.asarray(s1.info.converged).all()
+    dev = np.abs(np.asarray(s1.x) - np.asarray(s0.x)).max()
+    scale = np.abs(np.asarray(s0.x)).max()
+    assert dev <= 1e-3 * max(scale, 1.0), (dev, scale)
+
+
 def test_proxqp_fused_chunk_pads_unaligned_dims():
     import jax
 
