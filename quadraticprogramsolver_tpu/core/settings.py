@@ -211,6 +211,18 @@ class Settings:
     #: fused_factor, sigma_free_rhs, fused_chunk, refine=0). Off by
     #: default; bench.py opts in for its largest fleet.
     slab_cache: bool = False
+    #: Store the G cache as PRE-SPLIT bf16 halves {Ghi, Glo} instead of
+    #: f32 (or the slab window): with chunk_dot_precision="high" the
+    #: kernel needs exactly these halves anyway, and reading them straight
+    #: from HBM halves the G traffic and VMEM residency — which lets
+    #: lanes=4 fit alongside the bf16x3 dots (53.4 vs 62.3 ms per
+    #: 12-iteration chunk, measured round 4 at B=4096). The split is
+    #: exact (Ghi + Glo reconstructs G to within bf16x2's ~2^-16 — the
+    #: same operands the in-kernel split produces, so solutions match the
+    #: slab_cache+high solve bitwise). Requires fused_factor +
+    #: sigma_free_rhs + fused_chunk + chunk_dot_precision="high" and
+    #: adaptive_rho=False; mutually exclusive with slab_cache.
+    split_cache: bool = False
     #: Per-constraint penalty weighting: equality rows (l == u) get
     #: rho * rho_eq_scale (OSQP's vector-rho scheme — the reference's To-Do
     #: #1 "paramRho as a matrix"). 1.0 reproduces the reference's scalar rho.
@@ -248,6 +260,14 @@ class Settings:
                 "slab_cache requires fused_factor + sigma_free_rhs + "
                 "fused_chunk and adaptive_rho=False (a rho refactor would "
                 "hold two live slabs — the OOM this flag exists to avoid)")
+        if self.split_cache and (self.slab_cache or not (
+                self.fused_factor and self.sigma_free_rhs and self.fused_chunk
+                and self.chunk_dot_precision == "high"
+                and not self.adaptive_rho)):
+            raise ValueError(
+                "split_cache requires fused_factor + sigma_free_rhs + "
+                "fused_chunk + chunk_dot_precision='high' with "
+                "adaptive_rho=False, and excludes slab_cache")
 
     @property
     def eps_admm(self) -> float:

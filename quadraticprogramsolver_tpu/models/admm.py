@@ -138,12 +138,18 @@ def _run_chunk(qp: QP, settings: Settings, backend, state: SolverState):
         active = state.status == Status.RUNNING
         sigma_free = settings.sigma_free_rhs
         slab = sigma_free and "S" in state.kkt_cache
+        split = sigma_free and "Ghi" in state.kkt_cache
+        Glo = None
         if slab:
             # Settings.slab_cache: G is read through a block window into
             # the slab (first m columns ARE G); g was sliced once at init
             # (slicing the carried slab here would force a {1,2,0} carry
             # layout and a full-slab relayout copy — see cholesky_init).
             Gop = state.kkt_cache["S"]
+        elif split:
+            # Settings.split_cache: G as pre-split bf16 halves.
+            Gop = state.kkt_cache["Ghi"]
+            Glo = state.kkt_cache["Glo"]
         else:
             Gop = state.kkt_cache["G" if sigma_free else "M_inv"]
         gvec = state.kkt_cache["g"] if sigma_free else None
@@ -158,7 +164,7 @@ def _run_chunk(qp: QP, settings: Settings, backend, state: SolverState):
             sigma_free=sigma_free, slab=slab, lanes=lanes,
             dot_precision=(settings.chunk_dot_precision if sigma_free
                            else "highest"),
-            g=gvec,
+            g=gvec, Glo=Glo,
             interpret=jax.default_backend() != "tpu")
         return x, z, y, xp, zp, state.kkt_cache, (Ax, ATy)
 

@@ -144,6 +144,16 @@ def cholesky_init(qp: QP, rho, sigma, settings: Settings):
             rho_row, sigma=float(settings.sigma_for(qp.dtype)),
             pivot_variant=settings.pivot_variant,
             interpret=jax.default_backend() != "tpu")
+        if settings.split_cache:
+            # Pre-split bf16 halves (Settings.split_cache): slice G from
+            # the slab here (same transient slab + 2 GiB peak as the
+            # pre-slab_cache G slice — measured to fit at B=4096) and
+            # split it exactly as the kernel's in-kernel _split would, so
+            # the chunk reads half the bytes and skips the split work.
+            G = S[..., :, : qp.m]
+            Ghi = G.astype(jnp.bfloat16)
+            Glo = (G - Ghi.astype(S.dtype)).astype(jnp.bfloat16)
+            return {"Ghi": Ghi, "Glo": Glo, "g": S[..., :, qp.m]}
         if settings.slab_cache:
             # Keep the slab itself: the fused chunk reads G through a block
             # window — no (B, n, m) G copy (see Settings.slab_cache). g IS
@@ -187,7 +197,9 @@ def cholesky_solve(cache, qp: QP, x, z, y, rho, settings: Settings):
     if settings.sigma_free_rhs:
         if "S" in cache:  # slab_cache: slice G lazily (XLA path only — the
             G = cache["S"][..., :, : qp.m]       # fused chunk reads the
-        else:                                    # slab directly)
+        elif "Ghi" in cache:  # split_cache: reconstruct (XLA path only)
+            G = cache["Ghi"].astype(qp.dtype) + cache["Glo"].astype(qp.dtype)
+        else:
             G = cache["G"]
         g = cache["g"]
         t = rho_row * z - y

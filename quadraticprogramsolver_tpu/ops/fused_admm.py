@@ -47,10 +47,19 @@ from jax.experimental.pallas import tpu as pltpu
 def _chunk_kernel(active_all_ref,                   # scalar-prefetch (B,) SMEM
                   *refs, K: int, alpha: float, sigma: float, refine: int,
                   lanes: int, sigma_free: bool = False,
-                  dot_precision: str = "highest"):
+                  dot_precision: str = "highest", split: bool = False):
     # P is only an operand (and only DMA'd) when refinement is on.
-    g_ref = None
-    if sigma_free:
+    g_ref = Glo_ref = None
+    if split:
+        # Pre-split cache (Settings.split_cache): the G operand arrives as
+        # TWO bf16 halves (half the HBM read and VMEM residency of the f32
+        # G — what lets lanes=4 fit with the bf16x3 dots). Implies
+        # sigma_free and dot_precision="high".
+        (Minv_ref, Glo_ref, A_ref, g_ref, l_ref, u_ref, rho_ref,
+         x_ref, z_ref, y_ref,
+         xo_ref, zo_ref, yo_ref, xpo_ref, zpo_ref, Axo_ref, ATyo_ref) = refs
+        P_ref = q_ref = None
+    elif sigma_free:
         # Sigma-free RHS: the first matrix is G = M^{-1}A' (kept (n, m) — the
         # dot contracts its last axis) and the per-lane x-update is
         # xx = G(rho z - y) - g — two dots per iteration instead of three
@@ -128,15 +137,19 @@ def _chunk_kernel(active_all_ref,                   # scalar-prefetch (B,) SMEM
     @pl.when(any_active)
     def _():
         A = [A_ref[i] for i in range(L)]
-        Minv = [Minv_ref[i] for i in range(L)]  # G (n, m) when sigma_free
+        # G (n, m) when sigma_free; unused when split (bf16 halves instead)
+        Minv = None if split else [Minv_ref[i] for i in range(L)]
         q = None if sigma_free else [q_ref[i] for i in range(L)]
         g = [g_ref[i] for i in range(L)] if sigma_free else None
         lo = [l_ref[i] for i in range(L)]
         up = [u_ref[i] for i in range(L)]
         rho = [rho_ref[i] for i in range(L)]   # (1, m) per-constraint penalties
         rho_inv = [1.0 / r for r in rho]
-        high = dot_precision == "high"
-        if high:  # loop-invariant bf16 halves, split once per grid step
+        high = dot_precision == "high" or split
+        if split:  # G arrives pre-split (bf16 halves straight from HBM)
+            G_sp = [(Minv_ref[i], Glo_ref[i]) for i in range(L)]
+            A_sp = [_split(A[i]) for i in range(L)]
+        elif high:  # loop-invariant bf16 halves, split once per grid step
             G_sp = [_split(Minv[i]) for i in range(L)]
             A_sp = [_split(A[i]) for i in range(L)]
 
@@ -207,7 +220,7 @@ def fused_admm_chunk(Minv, A, P, q, l, u, x, z, y, rho_row, active,
                      *, K: int, alpha: float, sigma: float, refine: int = 0,
                      lanes: int = 1, sigma_free: bool = False,
                      slab: bool = False, dot_precision: str = "highest",
-                     interpret: bool = False, g=None):
+                     interpret: bool = False, g=None, Glo=None):
     """Run K fused ADMM iterations for every active lane.
 
     Args:
@@ -227,6 +240,11 @@ def fused_admm_chunk(Minv, A, P, q, l, u, x, z, y, rho_row, active,
         WINDOW at column offset 0 — the slab's first m columns are exactly
         G = M^{-1}A' (ops/fused_factor.py layout), so the (B, n, m) G copy
         is never materialized in HBM (see Settings.slab_cache).
+      Glo (with sigma_free + dot_precision="high"): ``Minv`` is the bf16
+        HI half of G and ``Glo`` its bf16 LO half, pre-split on the host
+        (Settings.split_cache) — half the HBM read and VMEM residency of
+        an f32 G, which is what lets lanes=4 fit with the bf16x3 dots
+        (53.4 vs 62.3 ms per 12-iteration chunk, measured B=4096).
     Returns:
       (x, z, y, x_prev, z_prev, Ax, ATy) after K iterations (prev = start of
       the last iteration, for the ADMM fixed-point test; Ax/ATy are the
@@ -242,14 +260,20 @@ def fused_admm_chunk(Minv, A, P, q, l, u, x, z, y, rho_row, active,
     if B % lanes:
         raise ValueError(f"batch {B} not divisible by lanes={lanes}")
     f32 = jnp.float32
+    split = Glo is not None
     kernel = functools.partial(_chunk_kernel, K=K, alpha=alpha, sigma=sigma,
                                refine=refine, lanes=lanes,
                                sigma_free=sigma_free,
-                               dot_precision=dot_precision)
+                               dot_precision=dot_precision, split=split)
 
     if dot_precision == "high" and not sigma_free:
         raise ValueError("dot_precision='high' (manual bf16x3) is "
                          "implemented for the sigma-free path only")
+    if split and (not sigma_free or slab or dot_precision != "high"):
+        raise ValueError("a pre-split G (Glo) requires sigma_free + "
+                         "dot_precision='high' and excludes slab")
+    if split and (Minv.dtype != jnp.bfloat16 or Glo.dtype != jnp.bfloat16):
+        raise ValueError("pre-split G halves must be bfloat16")
     if slab and not sigma_free:
         raise ValueError("slab windows apply to the sigma-free G cache only")
     if slab and Minv.shape[-1] < m:
@@ -277,7 +301,7 @@ def fused_admm_chunk(Minv, A, P, q, l, u, x, z, y, rho_row, active,
             num_scalar_prefetch=1,  # active mask, read per program_id
             grid=grid,
             in_specs=(
-                [g_spec, mat(m, n)]
+                [g_spec] + ([mat(n, m)] if split else []) + [mat(m, n)]
                 + ([mat(n, n)] if refine > 0 else [])
                 + [vec(n)]  # g when sigma_free, else q
                 + [vec(m), vec(m), vec(m), vec(n), vec(m), vec(m)]
@@ -296,7 +320,9 @@ def fused_admm_chunk(Minv, A, P, q, l, u, x, z, y, rho_row, active,
         interpret=interpret,
     )(
         active.astype(jnp.int32),
-        Minv.astype(f32), A.astype(f32),
+        Minv if split else Minv.astype(f32),
+        *([Glo] if split else []),
+        A.astype(f32),
         *(([P.astype(f32)]) if refine > 0 else []),
         (g if sigma_free else q).astype(f32)[:, None, :],
         l.astype(f32)[:, None, :],

@@ -325,6 +325,33 @@ def test_chunk_dot_precision_high_converges_close():
             dot_precision="high", interpret=True)
 
 
+def test_split_cache_matches_slab_high():
+    """Settings.split_cache: the pre-split bf16 {Ghi, Glo} cache must
+    reproduce the slab_cache + chunk_dot_precision="high" solve exactly —
+    the kernel consumes the same bf16 halves either way; only where the
+    split happens (init vs in-kernel) differs."""
+    fleet = qps.generate_batch(qps.ProblemClass.RANDOM_QP, 4, 128, seed=5,
+                               dtype=np.float32)
+    slab_high = qps.Settings(max_iterations=1000, eps_abs=1e-5, eps_rel=1e-5,
+                             rho=0.4, adaptive_rho=False, sigma_free_rhs=True,
+                             kkt_refinement_steps=0, fused_chunk=True,
+                             fused_factor=True, slab_cache=True,
+                             chunk_dot_precision="high")
+    split = dataclasses.replace(slab_high, slab_cache=False, split_cache=True)
+    s0 = qps.solve_jit(fleet, slab_high)
+    s1 = qps.solve_jit(fleet, split)
+    assert (np.asarray(s1.info.status) >= 2).all()
+    np.testing.assert_array_equal(np.asarray(s1.info.iterations),
+                                  np.asarray(s0.info.iterations))
+    dev = np.abs(np.asarray(s1.x) - np.asarray(s0.x)).max()
+    assert dev == 0.0, dev
+
+    import pytest
+
+    with pytest.raises(ValueError, match="split_cache"):
+        qps.Settings(split_cache=True)  # missing the required combination
+
+
 def test_slab_cache_matches_sliced_cache():
     """Settings.slab_cache: the fused chunk reading G through a block
     window into the factor slab (plus the lazy g column slice) must
