@@ -174,18 +174,19 @@ def main():
     # 12-iter chunk). Identical iteration counts (p50 24 max 36) and the
     # 16-lane audit verifies accuracy below. Needs lanes=2 (the bf16
     # halves double resident VMEM; lanes=4+high fails compile).
-    # split_cache: G stored as pre-split bf16 halves — half the chunk's G
-    # traffic/VMEM, letting lanes=4 ride with the bf16x3 dots (53.4 vs
-    # 62.3 ms per chunk). slab_cache+lanes=2 is the proven fallback.
-    split_settings = dataclasses.replace(
-        settings, adaptive_rho=False, split_cache=True,
-        chunk_dot_precision="high") if on_tpu else settings
+    # slab_cache + lanes=2 + bf16x3 dots is the measured-best headline
+    # config. split_cache (pre-split bf16 G halves) was measured and NOT
+    # adopted: its reduced-operand standalone kernel allows lanes=4
+    # (53.4 ms/chunk) but the full-output chunk at lanes=4 exceeds scoped
+    # VMEM (17.27M of 16M), and at lanes=2 the init's split traffic makes
+    # the solve a net loss (295.4 vs 285.8 ms) — it remains the
+    # memory-lean cache option (2.1 vs 7.0 GiB carried), not the fast one.
     slab_settings = dataclasses.replace(
         settings, adaptive_rho=False, slab_cache=True,
         chunk_lanes=2, chunk_dot_precision="high") if on_tpu else settings
     slab_hi = dataclasses.replace(
         settings, adaptive_rho=False, slab_cache=True) if on_tpu else settings
-    ladder = [(4096, split_settings), (4096, slab_settings), (4096, slab_hi),
+    ladder = [(4096, slab_settings), (4096, slab_hi),
               (4096, settings), (3072, settings), (2048, settings)]
     for batch, st_b in ladder:
         try:

@@ -130,8 +130,9 @@ def cholesky_init(qp: QP, rho, sigma, settings: Settings):
                                qp.batch_shape + (qp.m,))
     if _fused_factor_ok(qp, settings):
         # Fused slab factor (ops/fused_factor.py): build + GJ levels as
-        # Pallas kernels, slab updated in place. Dots are pinned to HIGHEST
-        # inside the kernels, so factor_precision does not apply here.
+        # Pallas kernels, slab updated in place. factor_precision="high"
+        # maps to the kernel's manual 3-pass bf16x3 LEVEL dots (round 4);
+        # the build gram and pivot inverses always run at HIGHEST.
         from ..ops.fused_factor import fused_factor_solve
 
         # The kernel returns the full slab; slice ONLY G and g from it (a
@@ -143,6 +144,8 @@ def cholesky_init(qp: QP, rho, sigma, settings: Settings):
             jnp.broadcast_to(qp.q, qp.batch_shape + (qp.n,)),
             rho_row, sigma=float(settings.sigma_for(qp.dtype)),
             pivot_variant=settings.pivot_variant,
+            dot_precision=("high" if settings.factor_precision == "high"
+                           else "highest"),
             interpret=jax.default_backend() != "tpu")
         if settings.split_cache:
             # Pre-split bf16 halves (Settings.split_cache): slice G from
@@ -152,6 +155,13 @@ def cholesky_init(qp: QP, rho, sigma, settings: Settings):
             # the chunk reads half the bytes and skips the split work.
             G = S[..., :, : qp.m]
             Ghi = G.astype(jnp.bfloat16)
+            # optimization_barrier is LOAD-BEARING: this backend compiles
+            # with --xla_allow_excess_precision=true, under which XLA may
+            # elide the bf16->f32 round trip and simplify G - f32(bf16(G))
+            # to zero — silently zeroing the lo half (measured on-chip:
+            # 0/4096 lanes converge; the interpret path, where Mosaic owns
+            # the split, is unaffected). The barrier pins the downcast.
+            Ghi = jax.lax.optimization_barrier(Ghi)
             Glo = (G - Ghi.astype(S.dtype)).astype(jnp.bfloat16)
             return {"Ghi": Ghi, "Glo": Glo, "g": S[..., :, qp.m]}
         if settings.slab_cache:

@@ -136,13 +136,36 @@ def _slab_level_kernel(S_ref, Dinv_ref, out_ref, *, n, j, w_out, prec):
     surviving state. Pivot rows take the normalized rows exactly (the
     subtraction there cancels only in exact arithmetic — same discipline as
     gj_solve_sweep).
+
+    ``prec="high"``: manual 3-pass bf16x3 for the two level dots (same
+    trick as ops/fused_admm.py — in-kernel dots are MXU-pass-bound and
+    Mosaic rejects the built-in HIGH). Only the SMALL operands are split
+    (Dinv, the NB pivot rows of T, C, DinvT — never the full live region,
+    which enters elementwise), so the VMEM overhead is a few NB-wide
+    strips.
     """
     S = S_ref[0]                                   # (n, w_out + NB)
     Dinv = Dinv_ref[0]                             # (NB, NB)
     C = S[:, w_out:]                               # (n, NB) pivot columns
     T = S[:, :w_out]                               # (n, w_out)
-    DinvT = _dot(Dinv, T[j * NB:(j + 1) * NB, :], precision=prec)
-    upd = T - _dot(C, DinvT, precision=prec)
+    if prec == "high":
+        f32, bf16 = jnp.float32, jnp.bfloat16
+
+        def _split(v):
+            vh = v.astype(bf16)
+            return vh, (v - vh.astype(f32)).astype(bf16)
+
+        def dot3(a_sp, b_sp):
+            (ah, al), (bh, bl) = a_sp, b_sp
+            d = lambda p, q: _dot(p, q, precision=jax.lax.Precision.DEFAULT)
+            return d(ah, bh) + d(ah, bl) + d(al, bh)
+
+        Dinv_sp = _split(Dinv)
+        DinvT = dot3(Dinv_sp, _split(T[j * NB:(j + 1) * NB, :]))
+        upd = T - dot3(_split(C), _split(DinvT))
+    else:
+        DinvT = _dot(Dinv, T[j * NB:(j + 1) * NB, :], precision=prec)
+        upd = T - _dot(C, DinvT, precision=prec)
     rows = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)
     in_j = (rows >= j * NB) & (rows < (j + 1) * NB)
     pad = [(j * NB, n - (j + 1) * NB), (0, 0)]
@@ -171,11 +194,11 @@ def fused_factor_solve(P, A, q, rho_row, *, sigma: float,
          the build kernel — never materialized in HBM.
       rho_row: (B, sum(m_i)) per-constraint penalties, block order.
       dot_precision: MXU passes for the LEVEL-update dots ("highest" = full
-         f32 6-pass, "high" = bf16x3). The build gram and the pivot inverses
-         always run at HIGHEST (they set the conditioning). NOTE: "high" is
-         currently a dead end — Mosaic rejects Precision.HIGH inside kernels
-         (NotImplementedError, round-3 backend); the knob is kept for when
-         the backend learns it.
+         f32 6-pass, "high" = MANUAL 3-pass bf16x3 — Mosaic rejects the
+         built-in Precision.HIGH, so the split ah*bh + ah*bl + al*bh is
+         written by hand in the level kernel, round 4). The build gram and
+         the pivot inverses always run at HIGHEST (they set the
+         conditioning).
     Returns:
       The full (B, n, k_pad + n) slab, whose first k_pad columns are the
       solve X = M^{-1}[A' | q | 0]; columns beyond k_pad are dead pivot
@@ -197,8 +220,10 @@ def fused_factor_solve(P, A, q, rho_row, *, sigma: float,
                          f"{NB}; got {(n, ms)}")
     f32 = jnp.float32
     wid = k_pad + n
+    # "high" stays a STRING sentinel — the level kernel implements it as a
+    # manual 3-pass bf16x3 split (Mosaic rejects Precision.HIGH).
     prec = {"highest": jax.lax.Precision.HIGHEST,
-            "high": jax.lax.Precision.HIGH}[dot_precision]
+            "high": "high"}[dot_precision]
 
     lane_mat = lambda r, c: pl.BlockSpec((1, r, c), lambda b: (b, 0, 0),
                                          memory_space=pltpu.VMEM)
