@@ -269,6 +269,30 @@ def test_fused_factor_end_to_end_solve():
     assert dev <= 1e-3, dev
 
 
+def test_fused_factor_dot_precision_high():
+    """fused_factor_solve(dot_precision="high") — the manual bf16x3 LEVEL
+    dots (round 4; the old Precision.HIGH path was Mosaic-rejected) — must
+    track the HIGHEST factor to ~f32 roundoff. (On-chip it buys nothing —
+    the level stage is HBM-bound, 179.7 vs 180.5 ms at B=4096 — so it
+    stays off; this test keeps the implementation honest.)"""
+    from quadraticprogramsolver_tpu.ops.fused_factor import fused_factor_solve
+
+    rng = np.random.default_rng(0)
+    B, n, m = 2, 256, 128
+    Mm = rng.standard_normal((B, n, n)).astype(np.float32) * 0.1
+    P = np.einsum("bki,bkj->bij", Mm, Mm) + 0.1 * np.eye(n, dtype=np.float32)
+    A = rng.standard_normal((B, m, n)).astype(np.float32) * 0.3
+    q = rng.standard_normal((B, n)).astype(np.float32)
+    rho = np.full((B, m), 0.4, np.float32)
+    S0 = fused_factor_solve(P, A, q, rho, sigma=1e-6, interpret=True)
+    S1 = fused_factor_solve(P, A, q, rho, sigma=1e-6,
+                            dot_precision="high", interpret=True)
+    G0 = np.asarray(S0[..., : m + 1])
+    G1 = np.asarray(S1[..., : m + 1])
+    rel = np.abs(G0 - G1).max() / np.abs(G0).max()
+    assert rel <= 1e-4, rel
+
+
 def test_chunk_lanes_end_to_end():
     """Settings.chunk_lanes interleaving must not change the solve (modulo
     pack predication: a frozen lane inside an active pack passes through
