@@ -91,9 +91,7 @@ def _init_state(qp: QP, settings: Settings, x0, backend, z0=None, y0=None,
     )
 
 
-def _fused_chunk_ok(qp: QP, settings: Settings) -> bool:
-    from ..core.settings import KKTBackendKind
-
+def _fused_chunk_shape_ok(n: int, m: int, settings: Settings) -> bool:
     # Scoped-VMEM guard: with refinement on, P joins M^{-1} and A as a
     # DMA'd per-lane operand, and Mosaic's buffered pipeline blows the
     # ~16 MB scoped-VMEM budget well before the naive byte count does —
@@ -102,14 +100,22 @@ def _fused_chunk_ok(qp: QP, settings: Settings) -> bool:
     # boundary; oversize shapes fall back to the XLA chunk path.
     # sigma_free replaces the n^2 M^{-1} with the (n, m) G.
     if settings.sigma_free_rhs:
-        mat_bytes = 2 * qp.m * qp.n * 4
+        mat_bytes = 2 * m * n * 4
     else:
-        mat_bytes = (qp.n * qp.n + qp.m * qp.n) * 4
+        mat_bytes = (n * n + m * n) * 4
     if settings.kkt_refinement_steps > 0:
-        mat_bytes += qp.n * qp.n * 4
+        mat_bytes += n * n * 4
         if mat_bytes > 2_000_000:
             return False
     elif mat_bytes > 6_500_000:
+        return False
+    return True
+
+
+def _fused_chunk_ok(qp: QP, settings: Settings) -> bool:
+    from ..core.settings import KKTBackendKind
+
+    if not _fused_chunk_shape_ok(qp.n, qp.m, settings):
         return False
     return (
         settings.fused_chunk
@@ -465,6 +471,32 @@ def solve(qp: QP, settings: Settings = Settings(), x0=None, z0=None, y0=None,
     ``scaling_iters > 0``.
     Returns a :class:`Solution` whose leaves carry the problem's batch shape.
     """
+    # The fused Pallas chunk needs 128-multiple (n, m): pad internally
+    # (inert rows/vars — pad_qp's padding provably never binds, so the
+    # sliced-back solution is the unpadded problem's) so the fast path
+    # applies to any dense batched f32 fleet, the discipline the prox
+    # family already follows (proxqp.py pad_proxqp). Skipped when the
+    # padded shape would fail the VMEM gates anyway.
+    if (settings.fused_chunk and qp.is_dense and qp.dtype == jnp.float32
+            and scaling is None and len(qp.batch_shape) == 1
+            and (qp.n % 128 or qp.m % 128)):
+        n_pad = -(-qp.n // 128) * 128
+        m_pad = -(-qp.m // 128) * 128
+        if _fused_chunk_shape_ok(n_pad, m_pad, settings):
+            from ..core.problem import pad_qp
+
+            def vpad(v, w):
+                if v is None:
+                    return None
+                v = jnp.asarray(v)
+                return jnp.pad(v, [(0, 0)] * (v.ndim - 1)
+                               + [(0, w - v.shape[-1])])
+
+            sol = solve(pad_qp(qp, n_pad, m_pad), settings,
+                        vpad(x0, n_pad), vpad(z0, m_pad), vpad(y0, m_pad),
+                        rho0)
+            return Solution(x=sol.x[..., : qp.n], z=sol.z[..., : qp.m],
+                            y=sol.y[..., : qp.m], info=sol.info)
     # TPU: f32 matmuls default to a single bf16 MXU pass, which floors the
     # KKT-solve accuracy at ~1e-2 relative and stalls convergence. The
     # per-iteration ops are HBM-bound matvecs, so multi-pass accumulation

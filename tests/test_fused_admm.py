@@ -269,6 +269,28 @@ def test_fused_factor_end_to_end_solve():
     assert dev <= 1e-3, dev
 
 
+def test_fused_chunk_auto_pads_unaligned_dims():
+    """solve() with fused_chunk=True on non-128-multiple (n, m) must pad
+    internally (inert rows/vars), take the fused path, and slice back a
+    solution matching the XLA chunk solve on the unpadded problem — the
+    prox family's pad discipline applied to ADMM (round 4)."""
+    fleet = qps.generate_batch(qps.ProblemClass.RANDOM_QP, 3, 100, seed=7,
+                               dtype=np.float32)
+    assert fleet.n % 128 and fleet.m % 128
+    st_x = qps.Settings(max_iterations=1000, eps_abs=1e-5, eps_rel=1e-5,
+                        rho=0.4, adaptive_rho=False, sigma_free_rhs=True,
+                        kkt_refinement_steps=0)
+    st_f = dataclasses.replace(st_x, fused_chunk=True)
+    sx = qps.solve_jit(fleet, st_x)
+    sf = qps.solve_jit(fleet, st_f)
+    assert (np.asarray(sf.info.status) >= 2).all()
+    assert sf.x.shape == sx.x.shape  # sliced back to the unpadded n
+    assert sf.z.shape == sx.z.shape
+    scale = np.abs(np.asarray(sx.x)).max() + 1.0
+    dev = np.abs(np.asarray(sx.x) - np.asarray(sf.x)).max() / scale
+    assert dev <= 1e-4, dev
+
+
 def test_fused_factor_dot_precision_high():
     """fused_factor_solve(dot_precision="high") — the manual bf16x3 LEVEL
     dots (round 4; the old Precision.HIGH path was Mosaic-rejected) — must
@@ -323,15 +345,19 @@ def test_chunk_dot_precision_high_converges_close():
 
     fleet = qps.generate_batch(qps.ProblemClass.RANDOM_QP, 4, 128, seed=5,
                                dtype=np.float32)
-    base = qps.Settings(max_iterations=1000, eps_abs=1e-5, eps_rel=1e-5,
+    # eps 1e-4: with the round-4 auto-pad this fleet takes the genuinely
+    # fused path, where bf16x3's ~1e-5-relative noise floor stalls
+    # sub-1e-4 tolerances (measured; same behavior as the prox knob).
+    base = qps.Settings(max_iterations=1000, eps_abs=1e-4, eps_rel=1e-4,
                         rho=0.4, adaptive_rho=False, sigma_free_rhs=True,
                         kkt_refinement_steps=0, fused_chunk=True,
                         fused_factor=True)
     s0 = qps.solve_jit(fleet, base)
     s1 = qps.solve_jit(fleet, dataclasses.replace(
         base, chunk_dot_precision="high"))
-    np.testing.assert_array_equal(np.asarray(s1.info.status),
-                                  np.asarray(s0.info.status))
+    # Converged either way; the split noise may flip WHICH exit fires
+    # (status 2 fixed-point vs 3 residuals), so no exact-status equality.
+    assert (np.asarray(s0.info.status) >= 2).all()
     assert (np.asarray(s1.info.status) >= 2).all()
     dev = np.abs(np.asarray(s1.x) - np.asarray(s0.x)).max()
     scale = np.abs(np.asarray(s0.x)).max()
@@ -356,7 +382,10 @@ def test_split_cache_matches_slab_high():
     split happens (init vs in-kernel) differs."""
     fleet = qps.generate_batch(qps.ProblemClass.RANDOM_QP, 4, 128, seed=5,
                                dtype=np.float32)
-    slab_high = qps.Settings(max_iterations=1000, eps_abs=1e-5, eps_rel=1e-5,
+    # eps 1e-4: with the round-4 auto-pad this fleet (n=128, m=64 -> padded
+    # 128x128) takes the GENUINELY fused path, where the bf16x3 noise
+    # floor stalls sub-1e-4 tolerances (same measured behavior as prox).
+    slab_high = qps.Settings(max_iterations=1000, eps_abs=1e-4, eps_rel=1e-4,
                              rho=0.4, adaptive_rho=False, sigma_free_rhs=True,
                              kkt_refinement_steps=0, fused_chunk=True,
                              fused_factor=True, slab_cache=True,
