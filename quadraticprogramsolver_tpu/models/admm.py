@@ -482,7 +482,11 @@ def solve(qp: QP, settings: Settings = Settings(), x0=None, z0=None, y0=None,
             and (qp.n % 128 or qp.m % 128)):
         n_pad = -(-qp.n // 128) * 128
         m_pad = -(-qp.m // 128) * 128
-        if _fused_chunk_shape_ok(n_pad, m_pad, settings):
+        # Skip when padding would inflate the per-lane work by >4x (e.g.
+        # n=16 -> 128 is 64x the elements): tiny problems are better off
+        # on the XLA chunk than computing mostly-inert padded rows.
+        inflate = (n_pad * m_pad) / (qp.n * qp.m)
+        if inflate <= 4.0 and _fused_chunk_shape_ok(n_pad, m_pad, settings):
             from ..core.problem import pad_qp
 
             def vpad(v, w):
