@@ -291,6 +291,41 @@ def test_fused_chunk_auto_pads_unaligned_dims():
     assert dev <= 1e-4, dev
 
 
+def test_headline_knob_stack_with_polish_and_autopad():
+    """The full round-4 knob stack (slab_cache + chunk_lanes +
+    chunk_dot_precision="high") composed with polish AND the auto-pad
+    (unaligned n=100 fleet) must solve and beat the unpolished accuracy —
+    the combination the pieces are never tested in together."""
+    fleet = qps.generate_batch(qps.ProblemClass.RANDOM_QP, 4, 100, seed=3,
+                               dtype=np.float32)
+    st = qps.Settings(max_iterations=1000, eps_abs=1e-4, eps_rel=1e-4,
+                      rho=0.4, adaptive_rho=False, sigma_free_rhs=True,
+                      kkt_refinement_steps=0, fused_chunk=True,
+                      fused_factor=True, slab_cache=True, chunk_lanes=2,
+                      chunk_dot_precision="high")
+    pol = dataclasses.replace(st, polish_iterations=2)
+    s0 = qps.solve_jit(fleet, st)
+    s1 = qps.solve_jit(fleet, pol)
+    assert (np.asarray(s0.info.status) >= 2).all()
+    assert (np.asarray(s1.info.status) >= 2).all()
+    assert s1.x.shape == (4, fleet.n)
+    from quadraticprogramsolver_tpu.utils.oracle import solve_qp_reference
+
+    for i in range(4):
+        ref = solve_qp_reference(
+            np.asarray(fleet.P[i], np.float64),
+            np.asarray(fleet.q[i], np.float64),
+            np.asarray(fleet.A[i], np.float64),
+            np.asarray(fleet.l[i], np.float64),
+            np.asarray(fleet.u[i], np.float64),
+            eps_abs=1e-10, eps_rel=1e-10, rho=0.1, max_iterations=50000)
+        if ref.status != 3:
+            continue
+        d0 = np.abs(np.asarray(s0.x[i], np.float64) - ref.x).max()
+        d1 = np.abs(np.asarray(s1.x[i], np.float64) - ref.x).max()
+        assert d1 <= max(d0, 1e-6), (i, d0, d1)  # polish never hurts
+
+
 def test_fused_factor_dot_precision_high():
     """fused_factor_solve(dot_precision="high") — the manual bf16x3 LEVEL
     dots (round 4; the old Precision.HIGH path was Mosaic-rejected) — must
