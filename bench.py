@@ -11,8 +11,12 @@ Protocol (diagnostics on stderr, never stdout):
     with the reference generator's distributions (GenerateQuadraticProgram.jl:10-36)
     synthesized *on device* (host generation of thousands of dense 500^2
     instances would dominate wall time; the distribution is identical)
-  * solve with the Cholesky-normal-equations backend at eps=1e-4, adaptive
-    rho — one jitted call per fleet, timed after a warmup compile
+  * solve with the Cholesky-normal-equations backend at eps=1e-4 — one
+    jitted call per fleet, timed after a warmup compile. The headline
+    config runs STATIC rho=0.4 (slab_cache requires it; measured: this
+    family never trips the adaptive hysteresis at rho=0.4, identical
+    iteration counts — see the ladder comments below); the fallback
+    configs keep adaptive rho on.
   * accuracy audit: a subsample is re-solved by the host f64 oracle; max
     |x - x_ref|_inf goes to stderr (target <= 1e-4, RunTests.jl discipline)
 """

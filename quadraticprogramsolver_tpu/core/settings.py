@@ -244,6 +244,9 @@ class Settings:
             raise ValueError("max_iterations must be positive")
         if self.check_interval < 1:
             raise ValueError("check_interval must be positive")
+        if self.chunk_lanes < 1:
+            raise ValueError("chunk_lanes must be >= 1 (0 would divide by "
+                             "zero in the lane fallback; negatives disable it)")
         if not (0.0 < self.alpha < 2.0):
             raise ValueError("alpha must be in (0, 2)")
         for name in ("eps_abs", "eps_rel", "rho", "sigma", "delta"):
@@ -382,6 +385,15 @@ class ProxQPSettings:
     #: trace buffers of shape (num_checks, *B)) — the role of the
     #: reference's commented @printf residual trace (ProxQP.jl:272).
     record_history: bool = False
+
+    def __post_init__(self):
+        if self.max_iterations < 1:
+            raise ValueError("max_iterations must be positive")
+        if self.check_interval < 1:
+            raise ValueError("check_interval must be positive")
+        if self.chunk_lanes < 1:
+            raise ValueError("chunk_lanes must be >= 1 (0 would divide by "
+                             "zero in the lane fallback; negatives disable it)")
 
     @property
     def num_checks(self) -> int:

@@ -103,8 +103,19 @@ def _fused_chunk_shape_ok(n: int, m: int, settings: Settings) -> bool:
         mat_bytes = 2 * m * n * 4
     else:
         mat_bytes = (n * n + m * n) * 4
+    # Interleaved lanes each hold their own matrix operands, and the manual
+    # bf16x3 dots keep both bf16 halves of G resident (same bytes as a
+    # second f32 copy). Scaling the budget by both reproduces every measured
+    # compile-fit boundary at n=512/m=256 sigma-free: lanes 4 fits / 8
+    # fails (f32), lanes 2 fits / 4 fails ("high", incl. split_cache) —
+    # previously those oversize packs passed the gate and died at remote
+    # Mosaic compile instead of falling back (the ADVICE r4 footgun).
+    # Conservative when B % chunk_lanes != 0 (runtime falls back to 1 lane).
+    mat_bytes *= settings.chunk_lanes
+    if settings.sigma_free_rhs and settings.chunk_dot_precision == "high":
+        mat_bytes *= 2
     if settings.kkt_refinement_steps > 0:
-        mat_bytes += n * n * 4
+        mat_bytes += n * n * 4 * settings.chunk_lanes
         if mat_bytes > 2_000_000:
             return False
     elif mat_bytes > 6_500_000:
@@ -122,8 +133,8 @@ def _fused_chunk_ok(qp: QP, settings: Settings) -> bool:
         and qp.is_dense
         and qp.dtype == jnp.float32
         and len(qp.batch_shape) == 1
-        and qp.n % 128 == 0
-        and qp.m % 128 == 0
+        and qp.n % 128 == 0 and qp.n > 0
+        and qp.m % 128 == 0 and qp.m > 0
         and kkt_mod.resolve_backend(settings.kkt_backend, qp) is KKTBackendKind.CHOLESKY
     )
 
@@ -479,7 +490,7 @@ def solve(qp: QP, settings: Settings = Settings(), x0=None, z0=None, y0=None,
     # padded shape would fail the VMEM gates anyway.
     if (settings.fused_chunk and qp.is_dense and qp.dtype == jnp.float32
             and scaling is None and len(qp.batch_shape) == 1
-            and (qp.n % 128 or qp.m % 128)):
+            and qp.m > 0 and (qp.n % 128 or qp.m % 128)):
         n_pad = -(-qp.n // 128) * 128
         m_pad = -(-qp.m // 128) * 128
         # Skip when padding would inflate the per-lane work by >4x (e.g.

@@ -36,8 +36,12 @@ def _check_kkt(P, q, A, l, u, x, tol=1e-9):
     # Stationarity with multipliers recovered by least squares on the
     # active rows (sign-checked below).
     fin_l, fin_u = np.isfinite(l), np.isfinite(u)
-    act_l = fin_l & (r <= np.where(fin_l, l + 1e-7 * (1 + np.abs(l)), -np.inf))
-    act_u = fin_u & (r >= np.where(fin_u, u - 1e-7 * (1 + np.abs(u)), np.inf))
+    # Mask the infinite bounds BEFORE the arithmetic: inf inside np.where's
+    # discarded branch still evaluates and warns.
+    lf = np.where(fin_l, l, 0.0)
+    uf = np.where(fin_u, u, 0.0)
+    act_l = fin_l & (r <= np.where(fin_l, lf + 1e-7 * (1 + np.abs(lf)), -np.inf))
+    act_u = fin_u & (r >= np.where(fin_u, uf - 1e-7 * (1 + np.abs(uf)), np.inf))
     act = act_l | act_u
     g = P @ x + q
     if act.any():
