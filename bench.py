@@ -104,17 +104,18 @@ def device_random_qp_fleet(batch: int, n: int, m: int, seed: int):
     return qps.QP(P=P, q=q, A=A, l=l, u=u)
 
 
-def main():
-    import jax
+def headline_settings(on_tpu: bool):
+    """The exact knob stacks behind the headline number, in ladder order.
 
-    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    Exposed as a function so tests can pin the executed path: every TPU
+    config sets ``require_fused=True`` — if a knob stack would silently
+    fall off the fused path (the round-4 split_cache misattribution), the
+    bench now fails loudly instead of reporting a number for the wrong
+    kernel. Returns (settings, slab_settings, slab_hi).
+    """
+    import dataclasses
 
     import quadraticprogramsolver_tpu as qps
-
-    dev = jax.devices()[0]
-    log(f"device: {dev.platform} {getattr(dev, 'device_kind', '?')}")
-    on_tpu = dev.platform == "tpu"
 
     # rho=0.4 sits inside the adaptive-rho hysteresis band for this family:
     # no mid-solve refactorization (the dominant cost) and p50 convergence in
@@ -153,7 +154,36 @@ def main():
         # overlap on the MXU (91.0 vs 96.9 ms per 13-iter chunk, measured
         # round 4; lanes=8 exceeds VMEM). Every ladder batch divides by 4.
         chunk_lanes=4 if on_tpu else 1,
+        # Strict mode: if any of these knobs would silently fall back (the
+        # round-4 misattribution footgun), fail the config instead of
+        # benchmarking the wrong kernel. tests/test_plan.py pins the same
+        # stacks on CPU via models/plan.py.
+        require_fused=on_tpu,
     )
+    # slab_cache + lanes=2 + bf16x3 dots is the measured-best headline
+    # config (see the ladder comments in main for the full measurement
+    # trail); slab_hi is its full-f32-dot sibling.
+    slab_settings = dataclasses.replace(
+        settings, adaptive_rho=False, slab_cache=True,
+        chunk_lanes=2, chunk_dot_precision="high") if on_tpu else settings
+    slab_hi = dataclasses.replace(
+        settings, adaptive_rho=False, slab_cache=True) if on_tpu else settings
+    return settings, slab_settings, slab_hi
+
+
+def main():
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    import quadraticprogramsolver_tpu as qps
+
+    dev = jax.devices()[0]
+    log(f"device: {dev.platform} {getattr(dev, 'device_kind', '?')}")
+    on_tpu = dev.platform == "tpu"
+
+    settings, slab_settings, slab_hi = headline_settings(on_tpu)
 
     best = None
     # Fleet-size choice: every dispatch through the remote-TPU relay costs
@@ -185,11 +215,6 @@ def main():
     # VMEM (17.27M of 16M), and at lanes=2 the init's split traffic makes
     # the solve a net loss (295.4 vs 285.8 ms) — it remains the
     # memory-lean cache option (2.1 vs 7.0 GiB carried), not the fast one.
-    slab_settings = dataclasses.replace(
-        settings, adaptive_rho=False, slab_cache=True,
-        chunk_lanes=2, chunk_dot_precision="high") if on_tpu else settings
-    slab_hi = dataclasses.replace(
-        settings, adaptive_rho=False, slab_cache=True) if on_tpu else settings
     ladder = [(4096, slab_settings), (4096, slab_hi),
               (4096, settings), (3072, settings), (2048, settings)]
     for batch, st_b in ladder:

@@ -15,6 +15,7 @@ from .core.sparse_problem import (
 )
 from .core.state import SolveInfo, Solution, Status
 from .models.admm import solve, solve_jit
+from .models.plan import SolvePlan, plan, plan_proxqp
 from .models.proxqp import ProxQPSolution, solve as solve_proxqp
 from .models.proxqp import solve_jit as solve_proxqp_jit
 from .problems.generator import ALL_CLASSES, ProblemClass, generate_batch, generate_random_qp
@@ -41,6 +42,9 @@ __all__ = [
     "Status",
     "solve",
     "solve_jit",
+    "SolvePlan",
+    "plan",
+    "plan_proxqp",
     "solve_proxqp",
     "solve_proxqp_jit",
     "ProxQPSolution",

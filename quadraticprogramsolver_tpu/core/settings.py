@@ -223,6 +223,15 @@ class Settings:
     #: sigma_free_rhs + fused_chunk + chunk_dot_precision="high" and
     #: adaptive_rho=False; mutually exclusive with slab_cache.
     split_cache: bool = False
+    #: Strict mode for the fast paths: raise at setup instead of SILENTLY
+    #: falling back when any requested fused feature (fused_chunk,
+    #: fused_factor, slab/split cache, chunk_lanes interleave) will not
+    #: actually run — wrong dtype/shape, VMEM gate, B % chunk_lanes != 0.
+    #: The gates are all static, so this costs nothing at runtime and turns
+    #: the round-4 misattribution incidents (a benchmark number credited to
+    #: a path that silently fell back) into loud errors. See
+    #: models/plan.py for the introspectable execution plan.
+    require_fused: bool = False
     #: Per-constraint penalty weighting: equality rows (l == u) get
     #: rho * rho_eq_scale (OSQP's vector-rho scheme — the reference's To-Do
     #: #1 "paramRho as a matrix"). 1.0 reproduces the reference's scalar rho.
@@ -385,6 +394,9 @@ class ProxQPSettings:
     #: trace buffers of shape (num_checks, *B)) — the role of the
     #: reference's commented @printf residual trace (ProxQP.jl:272).
     record_history: bool = False
+    #: Strict fast-path mode (see Settings.require_fused): raise instead of
+    #: silently falling back when a requested fused feature will not run.
+    require_fused: bool = False
 
     def __post_init__(self):
         if self.max_iterations < 1:

@@ -482,6 +482,12 @@ def solve(qp: QP, settings: Settings = Settings(), x0=None, z0=None, y0=None,
     ``scaling_iters > 0``.
     Returns a :class:`Solution` whose leaves carry the problem's batch shape.
     """
+    if settings.require_fused:
+        # Strict mode: every requested fused feature must actually run
+        # (static check — shapes/settings only; see models/plan.py).
+        from .plan import check_require_fused, plan as plan_fn
+
+        check_require_fused(plan_fn(qp, settings), "ADMM")
     # The fused Pallas chunk needs 128-multiple (n, m): pad internally
     # (inert rows/vars — pad_qp's padding provably never binds, so the
     # sliced-back solution is the unpadded problem's) so the fast path

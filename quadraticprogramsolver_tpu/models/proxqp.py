@@ -225,6 +225,10 @@ def solve(prob, settings: ProxQPSettings = ProxQPSettings(),
     warm-starts the penalty — segmented/warm-started solves carry the
     adapted rho through it.
     """
+    if settings.require_fused:
+        from .plan import check_require_fused, plan_proxqp
+
+        check_require_fused(plan_proxqp(prob, settings), "prox-ALM")
     # Full-f32 matmul accumulation on TPU (see models/admm.py rationale).
     with jax.default_matmul_precision("highest"):
         return _solve_impl(prob, settings, init, rho0)
