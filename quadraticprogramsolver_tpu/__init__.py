@@ -14,7 +14,8 @@ from .core.sparse_problem import (
     SparseProxQP, SparseQP, make_sparse_proxqp, make_sparse_qp,
 )
 from .core.state import SolveInfo, Solution, Status
-from .models.admm import solve, solve_jit
+from .frontends.reuse import CachedQPSolver
+from .models.admm import PreparedFactor, prepare, prepare_jit, solve, solve_jit
 from .models.plan import SolvePlan, plan, plan_proxqp
 from .models.proxqp import ProxQPSolution, solve as solve_proxqp
 from .models.proxqp import solve_jit as solve_proxqp_jit
@@ -45,6 +46,10 @@ __all__ = [
     "SolvePlan",
     "plan",
     "plan_proxqp",
+    "PreparedFactor",
+    "prepare",
+    "prepare_jit",
+    "CachedQPSolver",
     "solve_proxqp",
     "solve_proxqp_jit",
     "ProxQPSolution",

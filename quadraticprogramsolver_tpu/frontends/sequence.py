@@ -26,7 +26,8 @@ def warm_start_from(sol: Solution):
 
 
 def solve_sequence(qp_seq: QP, settings: Settings = Settings(),
-                   init=None, carry_rho: bool = True) -> Solution:
+                   init=None, carry_rho: bool = True,
+                   static_matrices: bool = False) -> Solution:
     """Solve a time sequence of QPs, warm-starting each from its predecessor.
 
     ``qp_seq`` leaves carry a leading time axis: P (T, *B, n, n), etc. The
@@ -41,6 +42,18 @@ def solve_sequence(qp_seq: QP, settings: Settings = Settings(),
     examples/mpc_fleet.py tracking problem carrying it costs ~30% MORE
     total iterations than carrying the iterates alone (measured: 21015 vs
     15795 over 40x32 solves). Measure per workload.
+
+    ``static_matrices=True`` declares P and A time-invariant (the canonical
+    MPC shape: fixed dynamics/costs, drifting q/l/u) and factors the KKT
+    system ONCE before the scan (:func:`models.admm.prepare`) — every tick
+    then skips the per-solve factorization, the dominant cost of short
+    warm-started solves (64% of the r4 headline solve). Each tick starts at
+    the prepared rho, so ``carry_rho`` is ignored (a carried rho would
+    silently mismatch the cached factor); with ``adaptive_rho`` on, a lane
+    that drifts refactors in-loop for that tick only. The caller is
+    responsible for P/A actually being constant along the time axis — pass
+    broadcast-shaped leaves (P of shape (*B, n, n) broadcast to (T, ...))
+    or simply the t=0 matrices repeated; only index 0 is factored.
     """
     T = qp_seq.q.shape[0]
     batch = qp_seq.q.shape[1:-1]
@@ -55,6 +68,20 @@ def solve_sequence(qp_seq: QP, settings: Settings = Settings(),
         x0, z0, y0 = (jnp.asarray(v, dt) for v in init)
     rho0 = jnp.full(batch, settings.rho, dt)
 
+    if static_matrices:
+        qp0 = QP(P=qp_seq.P[0], q=qp_seq.q[0], A=qp_seq.A[0],
+                 l=qp_seq.l[0], u=qp_seq.u[0])
+        prepared = admm.prepare(qp0, settings)
+
+        def step(carry, qp_t):
+            x, z, y = carry
+            sol = admm.solve(qp_t, settings, x0=x, z0=z, y0=y,
+                             prepared=prepared)
+            return (sol.x, sol.z, sol.y), sol
+
+        _, sols = jax.lax.scan(step, (x0, z0, y0), qp_seq)
+        return sols
+
     def step(carry, qp_t):
         x, z, y, rho = carry
         sol = admm.solve(qp_t, settings, x0=x, z0=z, y0=y,
@@ -65,5 +92,6 @@ def solve_sequence(qp_seq: QP, settings: Settings = Settings(),
     return sols
 
 
-solve_sequence_jit = jax.jit(solve_sequence,
-                             static_argnames=("settings", "carry_rho"))
+solve_sequence_jit = jax.jit(
+    solve_sequence,
+    static_argnames=("settings", "carry_rho", "static_matrices"))

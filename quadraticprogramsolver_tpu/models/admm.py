@@ -34,6 +34,7 @@ TPU-first structure (not a port):
 
 from __future__ import annotations
 
+import dataclasses
 from dataclasses import replace as dataclasses_replace
 
 import jax
@@ -41,6 +42,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..core.problem import QP
+from ..core.pytree import pytree_dataclass as _pytree_dataclass
 from ..core.settings import RHO_MAX, RHO_MIN, Settings
 from ..core.state import SolveInfo, Solution, SolverState, Status
 from ..ops.linalg import inf_norm
@@ -50,14 +52,21 @@ from .polish import polish as polish_fn
 
 
 def _init_state(qp: QP, settings: Settings, x0, backend, z0=None, y0=None,
-                rho0=None, aa0=None) -> SolverState:
+                rho0=None, aa0=None, prepared=None) -> SolverState:
     batch = qp.batch_shape
     dt = qp.dtype
     x = jnp.zeros(batch + (qp.n,), dt) if x0 is None else jnp.asarray(x0, dt)
-    rho = (jnp.full(batch, settings.rho, dt) if rho0 is None
-           else jnp.broadcast_to(jnp.asarray(rho0, dt), batch))
-    sigma = jnp.asarray(settings.sigma_for(dt), dt)
-    cache = backend.init(qp, rho, sigma, settings)
+    if prepared is not None:
+        # Factor-reuse path (models/admm.prepare): adopt the prepared cache
+        # and ITS rho — the factor is only valid for the rho it was built
+        # at. q-dependent cache pieces are refreshed here (one matvec).
+        rho = jnp.broadcast_to(jnp.asarray(prepared.rho, dt), batch)
+        cache = prepared.materialize(qp)
+    else:
+        rho = (jnp.full(batch, settings.rho, dt) if rho0 is None
+               else jnp.broadcast_to(jnp.asarray(rho0, dt), batch))
+        sigma = jnp.asarray(settings.sigma_for(dt), dt)
+        cache = backend.init(qp, rho, sigma, settings)
     history = None
     if settings.record_history:
         buf = lambda: jnp.full((settings.num_checks,) + batch, jnp.inf, dt)
@@ -89,6 +98,95 @@ def _init_state(qp: QP, settings: Settings, x0, backend, z0=None, y0=None,
         products=products,
         aa=aa,
     )
+
+
+@_pytree_dataclass
+@dataclasses.dataclass(frozen=True)
+class PreparedFactor:
+    """A KKT factorization prepared once for repeated solves (factor reuse).
+
+    The reference's ProxQP separates construction (factor once,
+    `/root/reference/ProxQP.jl:73-115`) from solving (`:118-173` reuses the
+    Cholesky across calls), and real OSQP's API is setup -> update_lin_cost /
+    update_bounds -> solve. This is that contract for the box-form family:
+    :func:`prepare` factors the KKT system for (P, A, rho) once; passing the
+    result to :func:`solve` skips the per-solve factor entirely — the
+    dominant cost of short warm-started solves (measured round 4: 182 of
+    286 ms of the headline solve was factor) — while q, l, u may change
+    freely between calls.
+
+    Validity contract: P, A, the batch shape, and the settings' rho
+    structure (rho_eq_scale) must match the prepare-time problem; q/l/u are
+    free. The solve adopts ``rho`` (the factor is only valid at its own
+    rho); with ``adaptive_rho`` on, a lane whose rho then drifts refactors
+    in-loop as usual — reuse pays until the first drift, so the typical
+    prepared workload pins rho (MPC fleets with a tuned static penalty).
+
+    ``M_inv`` is carried only on the sigma-free path, where the cached
+    ``g = M^{-1} q`` is q-dependent: :meth:`materialize` refreshes it with
+    one batched matvec per solve (G = M^{-1}A' is q-independent).
+    """
+
+    cache: object            # backend cache pytree (q-independent pieces)
+    rho: jax.Array           # (*B,) penalty the factor was built at
+    M_inv: object = None     # (*B, n, n) only when sigma_free_rhs
+
+    def materialize(self, qp: QP):
+        """Per-solve cache: refresh the q-dependent pieces (if any)."""
+        if self.M_inv is not None:
+            from ..ops.linalg import matvec
+
+            return {"G": self.cache["G"], "g": matvec(self.M_inv, qp.q)}
+        return self.cache
+
+
+def prepare(qp: QP, settings: Settings = Settings(),
+            rho0=None) -> PreparedFactor:
+    """Factor the KKT system once for repeated :func:`solve` calls.
+
+    Jittable. See :class:`PreparedFactor` for the reuse contract. For the
+    dense CHOLESKY backend with ``sigma_free_rhs`` the factor additionally
+    materializes M^{-1} (so each solve can refresh g for its own q); the
+    plain path's cache (M^{-1}, or L/d, or the CG diagonal) is q-independent
+    as-is. ``slab_cache``/``split_cache`` are single-solve memory layouts
+    and are not supported here.
+    """
+    from ..core.settings import KKTBackendKind
+
+    if settings.slab_cache or settings.split_cache:
+        raise ValueError(
+            "prepare() does not support slab_cache/split_cache — those are "
+            "single-solve memory layouts whose g lives inside the slab")
+    if settings.scaling_iters > 0:
+        raise ValueError(
+            "prepare() with scaling_iters is unsupported: equilibration "
+            "rescales P/A per solve, invalidating the factor; pre-scale "
+            "the problem once instead")
+    backend = kkt_mod.get_backend(settings.kkt_backend, qp)
+    dt = qp.dtype
+    batch = qp.batch_shape
+    rho = (jnp.full(batch, settings.rho, dt) if rho0 is None
+           else jnp.broadcast_to(jnp.asarray(rho0, dt), batch))
+    sigma = jnp.asarray(settings.sigma_for(dt), dt)
+    kind = kkt_mod.resolve_backend(settings.kkt_backend, qp)
+    with jax.default_matmul_precision(settings.matmul_precision):
+        if kind is kkt_mod.KKTBackendKind.CHOLESKY and settings.sigma_free_rhs:
+            from ..ops.linalg import spd_inverse
+
+            prec = settings.factor_precision or settings.matmul_precision
+            with jax.default_matmul_precision(prec):
+                rho_row = jnp.broadcast_to(
+                    kkt_mod.rho_rows(qp, rho, settings), batch + (qp.m,))
+                M_inv = spd_inverse(
+                    kkt_mod._build_normal_matrix(qp, rho_row, sigma))
+                # G = M^{-1} A' as (n, m) — same layout cholesky_init emits.
+                G = jnp.einsum("...ij,...kj->...ik", M_inv, qp.A)
+            return PreparedFactor(cache={"G": G}, rho=rho, M_inv=M_inv)
+        cache = backend.init(qp, rho, sigma, settings)
+        return PreparedFactor(cache=cache, rho=rho)
+
+
+prepare_jit = jax.jit(prepare, static_argnames=("settings",))
 
 
 def _fused_chunk_shape_ok(n: int, m: int, settings: Settings) -> bool:
@@ -461,7 +559,7 @@ def _maybe_refactor(qp: QP, settings: Settings, backend, state: SolverState) -> 
 
 
 def solve(qp: QP, settings: Settings = Settings(), x0=None, z0=None, y0=None,
-          rho0=None, scaling=None) -> Solution:
+          rho0=None, scaling=None, prepared=None) -> Solution:
     """Solve a (batched) box-constrained QP. Fully jittable; `settings` static.
 
     ``qp`` may be a dense batched :class:`QP` or a single large
@@ -480,8 +578,20 @@ def solve(qp: QP, settings: Settings = Settings(), x0=None, z0=None, y0=None,
     (unscaled) space; termination tests run on unscaled residuals, exactly
     like the dense ``Settings.scaling_iters`` path. Mutually exclusive with
     ``scaling_iters > 0``.
+
+    ``prepared``: a :class:`PreparedFactor` from :func:`prepare` — skips the
+    per-solve KKT factorization entirely (P, A must match the prepare-time
+    problem; q, l, u may differ; the solve starts at the prepared rho,
+    overriding ``rho0``). The setup/update/solve contract of the reference's
+    ProxQP constructors (`/root/reference/ProxQP.jl:73-115`) and of real
+    OSQP. Incompatible with ``scaling``; auto-padding is skipped (prepare on
+    a pre-padded problem — :func:`~..core.problem.pad_qp` — if the fused
+    chunk is wanted).
     Returns a :class:`Solution` whose leaves carry the problem's batch shape.
     """
+    if prepared is not None and (scaling is not None or settings.scaling_iters):
+        raise ValueError("prepared factors cannot be combined with scaling "
+                         "(equilibration rescales P/A, invalidating them)")
     if settings.require_fused:
         # Strict mode: every requested fused feature must actually run
         # (static check — shapes/settings only; see models/plan.py).
@@ -495,7 +605,8 @@ def solve(qp: QP, settings: Settings = Settings(), x0=None, z0=None, y0=None,
     # family already follows (proxqp.py pad_proxqp). Skipped when the
     # padded shape would fail the VMEM gates anyway.
     if (settings.fused_chunk and qp.is_dense and qp.dtype == jnp.float32
-            and scaling is None and len(qp.batch_shape) == 1
+            and scaling is None and prepared is None
+            and len(qp.batch_shape) == 1
             and qp.m > 0 and (qp.n % 128 or qp.m % 128)):
         n_pad = -(-qp.n // 128) * 128
         m_pad = -(-qp.m // 128) * 128
@@ -524,11 +635,12 @@ def solve(qp: QP, settings: Settings = Settings(), x0=None, z0=None, y0=None,
     # costs almost nothing there; the factor (n^3) pays, which
     # Settings.matmul_precision lets callers trade ("high" = bf16x3).
     with jax.default_matmul_precision(settings.matmul_precision):
-        return _solve_impl(qp, settings, x0, z0, y0, rho0, scaling)
+        return _solve_impl(qp, settings, x0, z0, y0, rho0, scaling,
+                           prepared=prepared)
 
 
 def _solve_impl(qp: QP, settings: Settings, x0, z0=None, y0=None, rho0=None,
-                scaling=None, aa0=None, return_aa=False):
+                scaling=None, aa0=None, return_aa=False, prepared=None):
     if scaling is not None:
         if settings.scaling_iters > 0:
             raise ValueError(
@@ -574,12 +686,13 @@ def _solve_impl(qp: QP, settings: Settings, x0, z0=None, y0=None, rho0=None,
             objective=qp.objective(x), history=sol.info.history)
         out = Solution(x=x, z=z, y=y, info=info)
         return (out, aa) if return_aa else out
-    sol, aa = _solve_core(qp, settings, x0, z0, y0, rho0, aa0=aa0)
+    sol, aa = _solve_core(qp, settings, x0, z0, y0, rho0, aa0=aa0,
+                          prepared=prepared)
     return (sol, aa) if return_aa else sol
 
 
 def _solve_core(qp: QP, settings: Settings, x0, z0=None, y0=None, rho0=None,
-                term_scale=None, aa0=None):
+                term_scale=None, aa0=None, prepared=None):
     if settings.sigma_free_rhs:
         from ..core.settings import KKTBackendKind
 
@@ -589,7 +702,8 @@ def _solve_core(qp: QP, settings: Settings, x0, z0=None, y0=None, rho0=None,
                 "sigma_free_rhs is a dense CHOLESKY-backend optimization; "
                 "other backends build the RHS per-solve anyway")
     backend = kkt_mod.get_backend(settings.kkt_backend, qp)
-    state = _init_state(qp, settings, x0, backend, z0, y0, rho0, aa0)
+    state = _init_state(qp, settings, x0, backend, z0, y0, rho0, aa0,
+                        prepared=prepared)
     max_chunks = settings.num_checks
 
     def cond(st: SolverState):
