@@ -18,9 +18,11 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..core.problem import QP
-from ..core.settings import Settings
+from ..core.settings import ProxQPSettings, Settings
 from ..core.state import Solution
 from ..models.admm import solve_jit
+from ..models.proxqp import ProxQPSolution
+from ..models.proxqp import solve_jit as proxqp_solve_jit
 
 BATCH_AXIS = "qp"
 
@@ -55,20 +57,28 @@ def make_fleet_mesh(devices=None, axis_name: str = BATCH_AXIS) -> Mesh:
     return Mesh(np.asarray(devices), (axis_name,))
 
 
-def shard_fleet(qp: QP, mesh: Mesh, axis_name: str = BATCH_AXIS) -> QP:
-    """Place a batched QP with its leading (fleet) axis split over the mesh."""
-    if not qp.batch_shape:
-        raise ValueError("shard_fleet requires a batched QP (leading fleet axis)")
+def shard_fleet(problem, mesh: Mesh, axis_name: str = BATCH_AXIS):
+    """Place a batched problem pytree with its leading (fleet) axis split
+    over the mesh.
+
+    Works for any fleet-batched problem type whose leaves all carry the
+    fleet as their leading axis — :class:`QP` and
+    :class:`~..core.problem.ProxQPProblem` both do.
+    """
+    if not problem.batch_shape:
+        raise ValueError("shard_fleet requires a batched problem "
+                         "(leading fleet axis)")
     n_dev = mesh.shape[axis_name]
-    if qp.batch_shape[0] % n_dev != 0:
+    if problem.batch_shape[0] % n_dev != 0:
         raise ValueError(
-            f"fleet size {qp.batch_shape[0]} not divisible by mesh axis {n_dev}")
+            f"fleet size {problem.batch_shape[0]} not divisible by "
+            f"mesh axis {n_dev}")
 
     def put(x):
         spec = P(axis_name, *([None] * (x.ndim - 1)))
         return jax.device_put(x, NamedSharding(mesh, spec))
 
-    return jax.tree.map(put, qp)
+    return jax.tree.map(put, problem)
 
 
 def solve_fleet(qp: QP, settings: Settings, mesh: Mesh | None = None,
@@ -84,3 +94,26 @@ def solve_fleet(qp: QP, settings: Settings, mesh: Mesh | None = None,
     # Module-level jit wrapper: a per-call jax.jit would own a fresh trace
     # cache and re-trace/compile on every call.
     return solve_jit(qp, settings)
+
+
+def solve_prox_fleet(prob, settings: ProxQPSettings,
+                     mesh: Mesh | None = None,
+                     axis_name: str = BATCH_AXIS) -> ProxQPSolution:
+    """Fleet data-parallelism for the prox-ALM family.
+
+    The second solver family (`/root/reference/ProxQP.jl:118-173`) gets the
+    same dominant TPU scaling axis as the box form: a fleet of independent
+    split-form QPs sharded over the mesh's ``qp`` axis, one jitted SPMD
+    program, per-device factor + iterate over the local shard. Every state
+    leaf of the prox solver (x/y/s/z, the {Ga, Gc, g} or M^{-1} factor
+    cache, Anderson histories, infeasibility product caches) carries the
+    fleet as its leading axis, so GSPMD splits the whole carry cleanly; the
+    only cross-device traffic is the all-reduce behind the early-exit
+    predicate.
+
+    The equality-KKT warm start (ProxQP.jl:80-90) runs sharded too — each
+    device LU-solves only its shard's KKT systems.
+    """
+    mesh = make_fleet_mesh() if mesh is None else mesh
+    prob = shard_fleet(prob, mesh, axis_name)
+    return proxqp_solve_jit(prob, settings)

@@ -13,9 +13,26 @@ from quadraticprogramsolver_tpu.parallel.mesh import (
     make_fleet_mesh,
     shard_fleet,
     solve_fleet,
+    solve_prox_fleet,
 )
 
 SETTINGS = qps.Settings(max_iterations=2000, eps_abs=1e-8, eps_rel=1e-8, rho=0.1)
+
+
+def prox_fleet(batch=16, n=20, me=4, mi=8, seed0=0, dtype=np.float64):
+    """Fleet of dense strictly-convex split-form QPs (ProxQP001.jl-style)."""
+    probs = []
+    for s in range(seed0, seed0 + batch):
+        rng = np.random.default_rng(s)
+        M = rng.standard_normal((n, n))
+        P = M @ M.T + 0.5 * np.eye(n)
+        q = rng.standard_normal(n)
+        A = rng.standard_normal((me, n))
+        C = rng.standard_normal((mi, n))
+        x_feas = rng.standard_normal(n)
+        probs.append(qps.make_proxqp(P, q, A, A @ x_feas, C,
+                                     C @ x_feas + rng.random(mi), dtype=dtype))
+    return jax.tree.map(lambda *xs: np.stack(xs), *probs)
 
 
 def test_eight_virtual_devices():
@@ -49,6 +66,50 @@ def test_indivisible_fleet_rejected():
                             num_elements=10, seed=1)
     with pytest.raises(ValueError, match="not divisible"):
         shard_fleet(qp, make_fleet_mesh())
+
+
+def test_prox_fleet_matches_single_device():
+    """SURVEY §2 parallelism mandate, extended to the SECOND solver family:
+    a sharded prox-ALM fleet must match the single-device batched solve."""
+    prob = prox_fleet()
+    st = qps.ProxQPSettings(max_iterations=2000, eps_abs=1e-9, eps_rel=1e-9)
+    plain = qps.solve_proxqp_jit(prob, st)
+    sharded = solve_prox_fleet(prob, st, make_fleet_mesh())
+    assert np.asarray(plain.info.converged).all()
+    dev = np.abs(np.asarray(plain.x) - np.asarray(sharded.x)).max()
+    assert dev <= 1e-10, dev
+    assert np.array_equal(np.asarray(plain.info.status),
+                          np.asarray(sharded.info.status))
+    assert np.array_equal(np.asarray(plain.info.iterations),
+                          np.asarray(sharded.info.iterations))
+    # Duals/slacks shard-match too (the full carry splits cleanly).
+    for leaf in ("y", "z", "s"):
+        d = np.abs(np.asarray(getattr(plain, leaf))
+                   - np.asarray(getattr(sharded, leaf))).max()
+        assert d <= 1e-10, (leaf, d)
+
+
+def test_prox_fleet_sigma_free_and_anderson_shard():
+    # The heavier state carries (sigma-free {Ga,Gc,g} cache, Anderson ring
+    # buffers, infeasibility product caches) must all shard on the fleet
+    # axis without a gather.
+    prob = prox_fleet(batch=8, seed0=100)
+    st = qps.ProxQPSettings(max_iterations=1000, eps_abs=1e-7, eps_rel=1e-7,
+                            sigma_free_rhs=True, kkt_refinement_steps=0,
+                            anderson_memory=4)
+    plain = qps.solve_proxqp_jit(prob, st)
+    sharded = solve_prox_fleet(prob, st, make_fleet_mesh())
+    dev = np.abs(np.asarray(plain.x) - np.asarray(sharded.x)).max()
+    assert dev <= 1e-10, dev
+    assert np.array_equal(np.asarray(plain.info.status),
+                          np.asarray(sharded.info.status))
+
+
+def test_prox_shard_placement():
+    prob = prox_fleet(batch=8)
+    sp = shard_fleet(prob, make_fleet_mesh())
+    assert {s.data.shape for s in sp.P.addressable_shards} == {(1, 20, 20)}
+    assert {s.data.shape for s in sp.C.addressable_shards} == {(1, 8, 20)}
 
 
 def test_graft_entry_dryrun():
