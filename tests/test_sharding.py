@@ -112,6 +112,58 @@ def test_prox_shard_placement():
     assert {s.data.shape for s in sp.C.addressable_shards} == {(1, 8, 20)}
 
 
+def test_prox_block_split_matches_single_device():
+    """One large split-form QP with constraint rows sharded over the mesh
+    (parallel/prox_consensus.py) vs the single-device solve at identical
+    settings (zero start: the block solver has no equality-KKT warm start)."""
+    from quadraticprogramsolver_tpu.parallel.prox_consensus import (
+        solve_prox_block_split)
+
+    rng = np.random.default_rng(42)
+    n, me, mi = 24, 8, 16
+    M = rng.standard_normal((n, n))
+    P_ = M @ M.T + 0.5 * np.eye(n)
+    A = rng.standard_normal((me, n))
+    C = rng.standard_normal((mi, n))
+    xf = rng.standard_normal(n)
+    prob = qps.make_proxqp(P_, rng.standard_normal(n), A, A @ xf, C,
+                           C @ xf + rng.random(mi), dtype=np.float64)
+    st = qps.ProxQPSettings(max_iterations=2000, eps_abs=1e-9, eps_rel=1e-9,
+                            kkt_warm_start=False)
+    plain = qps.solve_proxqp_jit(prob, st)
+    dist = solve_prox_block_split(prob, st)
+    assert bool(plain.info.converged) and bool(dist.info.converged)
+    assert int(plain.info.iterations) == int(dist.info.iterations)
+    for leaf in ("x", "y", "z", "s"):
+        dev = np.abs(np.asarray(getattr(plain, leaf))
+                     - np.asarray(getattr(dist, leaf))).max()
+        assert dev <= 1e-8, (leaf, dev)
+
+
+def test_prox_block_split_row_padding():
+    # me/mi not divisible by 8 devices: the solver pads with inert rows and
+    # returns duals at the original counts.
+    from quadraticprogramsolver_tpu.parallel.prox_consensus import (
+        solve_prox_block_split)
+
+    rng = np.random.default_rng(11)
+    n, me, mi = 16, 3, 5
+    M = rng.standard_normal((n, n))
+    P_ = M @ M.T + 0.5 * np.eye(n)
+    A = rng.standard_normal((me, n))
+    C = rng.standard_normal((mi, n))
+    xf = rng.standard_normal(n)
+    prob = qps.make_proxqp(P_, rng.standard_normal(n), A, A @ xf, C,
+                           C @ xf + rng.random(mi), dtype=np.float64)
+    st = qps.ProxQPSettings(max_iterations=2000, eps_abs=1e-8, eps_rel=1e-8,
+                            kkt_warm_start=False)
+    plain = qps.solve_proxqp_jit(prob, st)
+    dist = solve_prox_block_split(prob, st)
+    assert bool(dist.info.converged)
+    assert dist.y.shape == (me,) and dist.z.shape == (mi,)
+    assert np.abs(np.asarray(plain.x) - np.asarray(dist.x)).max() <= 1e-8
+
+
 def test_graft_entry_dryrun():
     sys.path.insert(0, "/root/repo")
     import __graft_entry__
