@@ -54,7 +54,9 @@ def hard_sync(tree) -> float:
     return float(np.asarray(jax.tree.leaves(tree)[0].ravel()[0]))
 
 
-def device_random_qp_fleet(batch: int, n: int, m: int, seed: int):
+def device_random_qp_fleet(batch: int, n: int, m: int, seed: int,
+                           n_pad: int | None = None,
+                           m_pad: int | None = None):
     """On-device batched random_qp family (GenerateQuadraticProgram.jl:10-36):
     P = (M'M + 1e-2 I) with M ~ sparse(0.15) normal, q ~ N(0,1),
     A ~ sparse(0.15) normal, l = -U(0,1), u = U(0,1), then 15% of rows get
@@ -65,6 +67,13 @@ def device_random_qp_fleet(batch: int, n: int, m: int, seed: int):
     pieces compile fast and land in the persistent compilation cache
     (host-side generation is no better — host->device transfer through the
     remote-TPU relay runs at ~8 MB/s).
+
+    ``n_pad``/``m_pad``: generate the (n, m) family PADDED AT BIRTH into
+    128-aligned shapes — the masked M/A rows and columns beyond (n, m) are
+    zero, padded P diagonal entries are 1, padded rows get (-inf, +inf)
+    bounds, exactly the inert-padding contract of core/problem.pad_qp but
+    with NO unaligned fleet ever materialized (the max-HBM path: at n=500,
+    B=4096 a generate-then-pad would transiently hold both copies).
     """
     import functools
 
@@ -74,32 +83,49 @@ def device_random_qp_fleet(batch: int, n: int, m: int, seed: int):
     import quadraticprogramsolver_tpu as qps
 
     density, alpha = 0.15, 1e-2
+    np_, mp_ = n_pad or n, m_pad or m
 
-    @functools.partial(jax.jit, static_argnums=(1, 2))
-    def masked_normal(k, r, c):
+    @functools.partial(jax.jit, static_argnums=(1, 2, 3, 4))
+    def masked_normal(k, r, c, r_real, c_real):
         mask = jax.random.uniform(jax.random.fold_in(k, 1), (batch, r, c)) < density
-        return jax.random.normal(k, (batch, r, c), jnp.float32) * mask
+        M = jax.random.normal(k, (batch, r, c), jnp.float32) * mask
+        if r_real < r or c_real < c:
+            live = ((jnp.arange(r)[:, None] < r_real)
+                    & (jnp.arange(c)[None, :] < c_real))
+            M = M * live
+        return M
 
     @jax.jit
     def gram(Mm):
+        d = jnp.where(jnp.arange(np_) < n, alpha, 1.0).astype(jnp.float32)
         return (jnp.einsum("bki,bkj->bij", Mm, Mm, precision="highest")
-                + alpha * jnp.eye(Mm.shape[-1], dtype=jnp.float32))
+                + jnp.diag(d))
 
     @jax.jit
     def vectors(k):
-        q = jax.random.normal(k, (batch, n), jnp.float32)
-        l = -jax.random.uniform(jax.random.fold_in(k, 1), (batch, m))
-        u = jax.random.uniform(jax.random.fold_in(k, 2), (batch, m))
-        mask_eq = jax.random.uniform(jax.random.fold_in(k, 3), (batch, m)) <= 0.15
-        mask_u1 = jax.random.uniform(jax.random.fold_in(k, 4), (batch, m)) <= 0.15
+        q = jax.random.normal(k, (batch, np_), jnp.float32)
+        # Explicit f32: under enable_x64 (CPU test harness) uniform()
+        # defaults to f64 and the solver's loop carry dtype-mismatches.
+        l = -jax.random.uniform(jax.random.fold_in(k, 1), (batch, mp_),
+                                jnp.float32)
+        u = jax.random.uniform(jax.random.fold_in(k, 2), (batch, mp_),
+                               jnp.float32)
+        mask_eq = jax.random.uniform(jax.random.fold_in(k, 3), (batch, mp_)) <= 0.15
+        mask_u1 = jax.random.uniform(jax.random.fold_in(k, 4), (batch, mp_)) <= 0.15
         l = jnp.where(mask_eq, u, l)
         u = jnp.where(mask_u1, 1.0, u)
+        if np_ > n:
+            q = q * (jnp.arange(np_) < n)
+        if mp_ > m:
+            pad_row = jnp.arange(mp_) >= m
+            l = jnp.where(pad_row, -jnp.inf, l)
+            u = jnp.where(pad_row, jnp.inf, u)
         return q, l, u
 
     key = jax.random.PRNGKey(seed)
-    Mm = masked_normal(key, n, n)
+    Mm = masked_normal(key, np_, np_, n, n)
     P = gram(Mm)
-    A = masked_normal(jax.random.fold_in(key, 2), m, n)
+    A = masked_normal(jax.random.fold_in(key, 2), mp_, np_, m, n)
     q, l, u = vectors(jax.random.fold_in(key, 3))
     return qps.QP(P=P, q=q, A=A, l=l, u=u)
 
@@ -364,7 +390,105 @@ def main():
     except Exception as e:  # artifact failure must not kill the bench line
         log(f"headline record NOT written: {type(e).__name__}: {e}")
 
+    # Free the headline fleet before the extra rows (HBM headroom).
+    qp = None  # noqa: F841
+    if on_tpu:
+        try:
+            extra_rows(slab_settings)
+        except Exception as e:  # extras must never kill the headline line
+            log(f"extra rows failed: {type(e).__name__}: {e}")
+
     print(json.dumps(result))
+
+
+def measure_fleet(qp, st, label: str, audit_lanes: int = 8,
+                  n_real: int | None = None):
+    """Warm-compile, time (best of 3), audit a lane subsample vs the f64
+    oracle; append a row to headline.jsonl and return it."""
+    import dataclasses as _dc
+
+    import quadraticprogramsolver_tpu as qps
+    from quadraticprogramsolver_tpu.bench.harness import append_headline_record
+    from quadraticprogramsolver_tpu.utils.oracle import solve_qp_reference
+
+    n_real = n_real or qp.n
+    sol = qps.solve_jit(qp, st)
+    hard_sync(sol.x)
+    dt = None
+    for _ in range(3):
+        t0 = time.perf_counter()
+        sol = qps.solve_jit(qp, st)
+        hard_sync(sol.x)
+        t = time.perf_counter() - t0
+        dt = t if dt is None else min(dt, t)
+    status = np.asarray(sol.info.status)
+    iters = np.asarray(sol.info.iterations)
+    x = np.asarray(sol.x)
+    solved = int(((status == 2) | (status == 3)).sum())
+    rate = solved / dt
+    conv = np.where((status == 2) | (status == 3))[0]
+    devs = []
+    for i in conv[:: max(1, len(conv) // audit_lanes)][:audit_lanes]:
+        ref = solve_qp_reference(
+            np.asarray(qp.P[i], np.float64)[:n_real, :n_real],
+            np.asarray(qp.q[i], np.float64)[:n_real],
+            np.asarray(qp.A[i], np.float64)[:, :n_real],
+            np.asarray(qp.l[i], np.float64), np.asarray(qp.u[i], np.float64),
+            eps_abs=1e-6, eps_rel=1e-6, rho=0.1, max_iterations=20000)
+        if ref.status == 3:
+            devs.append(np.abs(x[i, :n_real] - ref.x[:n_real]).max())
+    audit_max = max(devs) if devs else float("nan")
+    log(f"[{label}] B={qp.q.shape[0]}: {dt*1e3:.1f} ms, solved "
+        f"{solved}/{qp.q.shape[0]}, iters p50={np.median(iters):.0f} "
+        f"max={iters.max()}, {rate:.0f} solves/s, audit {audit_max:.2e} "
+        f"({len(devs)} lanes)")
+    row = {
+        "bench": label, "batch": int(qp.q.shape[0]), "n": n_real,
+        "m": int(qp.m), "seed": SEED,
+        "settings": {k: v for k, v in _dc.asdict(st).items()
+                     if v != getattr(type(st)(), k)},
+        "solve_ms": round(dt * 1e3, 2), "solved": solved,
+        "iters_p50": float(np.median(iters)), "iters_max": int(iters.max()),
+        "value": round(float(rate), 2), "unit": "solves/sec/chip",
+        "vs_baseline": round(float(rate) / BASELINE_SOLVES_PER_SEC, 3),
+        "audit_n": len(devs),
+        "audit_max_dev": float(f"{audit_max:.3e}") if devs else None,
+    }
+    rec_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "benchmarks", "results", "headline.jsonl")
+    append_headline_record(rec_path, row)
+    return row
+
+
+def extra_rows(slab_settings):
+    """Two standing per-round artifact rows beside the tuned headline:
+
+    1. ``baseline_shape``: the LITERAL BASELINE workload — n=500, m=250,
+       B=4096 — generated padded-at-birth into (512, 256) (no unaligned
+       fleet ever materialized, the round-4 auto-pad OOM fix) and run with
+       the headline slab stack. The audit oracle solves the true 500-var
+       problem (padding sliced off).
+    2. ``defaults``: the robust untuned path — default Settings at the
+       metric's 1e-4 eps (adaptive rho, check_interval=25, refinement on,
+       XLA chunk; no fused knobs) at B=2048 — so regressions in the robust
+       path can't hide behind the tuned number (VERDICT r4 item 7).
+    """
+    import dataclasses
+
+    import quadraticprogramsolver_tpu as qps
+
+    t0 = time.perf_counter()
+    qp = device_random_qp_fleet(4096, 500, 250, SEED, n_pad=N, m_pad=M)
+    hard_sync(qp.P)
+    log(f"baseline-shape fleet (500/250 in 512/256) generated in "
+        f"{time.perf_counter()-t0:.1f}s")
+    measure_fleet(qp, slab_settings, "bench.py:baseline_shape", n_real=500)
+    qp = None  # noqa: F841
+
+    defaults = qps.Settings(max_iterations=2000, eps_abs=1e-4, eps_rel=1e-4)
+    qp = device_random_qp_fleet(2048, N, M, SEED)
+    hard_sync(qp.P)
+    measure_fleet(qp, defaults, "bench.py:defaults")
 
 
 if __name__ == "__main__":

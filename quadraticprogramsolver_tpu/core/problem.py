@@ -182,6 +182,18 @@ def pad_qp(qp: QP, n_pad: int, m_pad: int) -> QP:
     return QP(P, q, A, l, u)
 
 
+#: Eagerly-dispatched padding programs for CONCRETE fleets (outside any
+#: enclosing jit). Padding inside the solve program holds the argument fleet
+#: and its padded copy live in one memory plan — at the BASELINE shape
+#: (n=500, B=4096) that is 19.3 of 15.75 GiB (round-4 OOM). As a separate
+#: program the pad's transient is bounded, and the donating variant frees
+#: each original leaf as its padded copy lands, leaving only the padded
+#: fleet resident for the solve. Donation invalidates the caller's arrays —
+#: opt-in (models/admm.solve_jit `donate_pad`).
+pad_qp_jit = jax.jit(pad_qp, static_argnums=(1, 2))
+pad_qp_donating = jax.jit(pad_qp, static_argnums=(1, 2), donate_argnums=(0,))
+
+
 @_pytree_dataclass
 @dataclasses.dataclass(frozen=True)
 class ProxQPProblem:

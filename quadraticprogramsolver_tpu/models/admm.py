@@ -756,7 +756,52 @@ def _solve_core(qp: QP, settings: Settings, x0, z0=None, y0=None, rho0=None,
     return Solution(x=x, z=state.z, y=y, info=info), state.aa
 
 
-solve_jit = jax.jit(solve, static_argnames=("settings",))
+_solve_jit_raw = jax.jit(solve, static_argnames=("settings",))
+
+
+def solve_jit(qp: QP, settings: Settings = Settings(), x0=None, z0=None,
+              y0=None, rho0=None, scaling=None, prepared=None,
+              donate_pad: bool = False) -> Solution:
+    """Jitted :func:`solve` with EAGER auto-padding for concrete fleets.
+
+    When called with concrete (non-traced) arrays on a fleet the fused
+    chunk wants padded to 128-multiples, the pad runs as its own small
+    program BEFORE the solve dispatch instead of inside it — inside one
+    program, XLA's memory plan holds the argument fleet and its padded
+    copy simultaneously, which OOMs exactly at max-HBM fleet sizes (19.3
+    of 15.75 GiB at the BASELINE n=500/B=4096 shape, round 4).
+    ``donate_pad=True`` additionally donates the argument fleet to the pad
+    program, so the originals are freed as the padded copies land — the
+    caller's qp arrays become invalid (standard JAX donation semantics);
+    use it when the fleet is handed over for solving, e.g. a generated
+    benchmark fleet. Traced callers fall through to the in-program pad in
+    :func:`solve` unchanged.
+    """
+    if (scaling is None and prepared is None and qp.is_dense
+            and not isinstance(qp.P, jax.core.Tracer)):
+        from .plan import plan as plan_fn
+
+        p = plan_fn(qp, settings)
+        if p.padded is not None:
+            from ..core.problem import pad_qp_donating, pad_qp_jit
+
+            n_pad, m_pad = p.padded
+            padder = pad_qp_donating if donate_pad else pad_qp_jit
+            qp_p = padder(qp, n_pad, m_pad)
+
+            def vpad(v, w):
+                if v is None:
+                    return None
+                v = jnp.asarray(v)
+                return jnp.pad(v, [(0, 0)] * (v.ndim - 1)
+                               + [(0, w - v.shape[-1])])
+
+            sol = _solve_jit_raw(qp_p, settings, vpad(x0, n_pad),
+                                 vpad(z0, m_pad), vpad(y0, m_pad), rho0,
+                                 scaling, prepared)
+            return Solution(x=sol.x[..., : qp.n], z=sol.z[..., : qp.m],
+                            y=sol.y[..., : qp.m], info=sol.info)
+    return _solve_jit_raw(qp, settings, x0, z0, y0, rho0, scaling, prepared)
 
 
 def _solve_carry_aa(qp: QP, settings: Settings, x0, z0, y0, rho0, scaling, aa0):

@@ -127,6 +127,26 @@ class TestRequireFused:
             qps.solve_proxqp(prob, st)
 
 
+class TestEagerPrePad:
+    def test_solve_jit_pads_eagerly_outside_program(self):
+        """Concrete unaligned fleets are padded by a separate small program
+        before the solve dispatch (the round-4 max-HBM OOM fix); results
+        carry the original shapes."""
+        qp = qps.generate_batch(qps.ProblemClass.RANDOM_QP, batch=4,
+                                num_elements=100, num_constraints=60,
+                                seed=2, dtype=np.float32)
+        st = dataclasses.replace(FUSED, rho=0.1, eps_abs=1e-4, eps_rel=1e-4,
+                                 max_iterations=800)
+        assert plan_mod.plan(qp, st).padded == (128, 128)
+        sol = qps.solve_jit(qp, st)
+        assert sol.x.shape == (4, 100) and sol.z.shape == (4, 60)
+        assert (np.asarray(sol.info.status) >= 1).all()
+        # Equivalent in-jit pad (traced caller) must agree on the solution.
+        sol_traced = jax.jit(qps.solve, static_argnames=("settings",))(qp, st)
+        dev = np.abs(np.asarray(sol.x) - np.asarray(sol_traced.x)).max()
+        assert dev < 1e-5, dev
+
+
 class TestHeadlineStacksStayFused:
     """The bench.py knob ladder must plan fully-fused on the bench shapes.
 
