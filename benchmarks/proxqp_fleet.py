@@ -154,9 +154,34 @@ def main(argv=None):
     worst = conv_idx[np.argsort(iters_all[conv_idx])[-4:]] if conv_idx.size else []
     lanes = sorted(set(spaced.tolist()) | set(np.asarray(worst).tolist()))
     devs = []
+    y_all = np.asarray(sol.y)
+    z_all = np.asarray(sol.z)
+    s_all = np.asarray(sol.s)
+    dev_rp = np.asarray(sol.info.res_prim)
+    dev_rd = np.asarray(sol.info.res_dual)
+    worst_true = (0.0, 0.0)  # (f64 res_prim, f64 res_dual) at audited lanes
     for i in lanes:
         if not conv_mask[i]:
             continue
+        # True f64 KKT residuals of the RETURNED iterates vs the residuals
+        # the DEVICE reported at exit: if the device number is honest, any
+        # audit miss is a residual->solution conditioning gap (remedy:
+        # tighten eps); if the device number is optimistic, the f32/bf16
+        # check products are misreporting (a accuracy bug). Diagnostic for
+        # the r4 adaptive-rho audit failure.
+        P64 = np.asarray(prob.P[i], np.float64)
+        A64 = np.asarray(prob.A[i], np.float64)
+        C64 = np.asarray(prob.C[i], np.float64)
+        xi = np.asarray(x[i], np.float64)
+        rp64 = max(np.abs(A64 @ xi - np.asarray(prob.b[i], np.float64)).max(),
+                   np.abs(C64 @ xi - np.asarray(prob.d[i], np.float64)
+                          + np.asarray(s_all[i], np.float64)).max())
+        rd64 = np.abs(P64 @ xi + np.asarray(prob.q[i], np.float64)
+                      + A64.T @ np.asarray(y_all[i], np.float64)
+                      + C64.T @ np.asarray(z_all[i], np.float64)).max()
+        log(f"  lane {i}: device (rp, rd) = ({dev_rp[i]:.2e}, {dev_rd[i]:.2e})"
+            f"  f64 (rp, rd) = ({rp64:.2e}, {rd64:.2e})")
+        worst_true = (max(worst_true[0], rp64), max(worst_true[1], rd64))
         ref = solve_qp_reference(
             np.asarray(box.P[i], np.float64), np.asarray(box.q[i], np.float64),
             np.asarray(box.A[i], np.float64), np.asarray(box.l[i], np.float64),
@@ -166,7 +191,8 @@ def main(argv=None):
             devs.append(np.abs(x[i] - ref.x).max())
     audit = max(devs) if devs else float("nan")
     log(f"accuracy audit: max|x-x_ref|_inf over {len(devs)} lanes "
-        f"(incl. worst stragglers) = {audit:.2e}")
+        f"(incl. worst stragglers) = {audit:.2e}; worst f64 residuals at "
+        f"audited lanes: rp {worst_true[0]:.2e}, rd {worst_true[1]:.2e}")
     import json
     result = {
         "benchmark": "proxqp_fleet", "batch": args.batch, "n": args.n,
@@ -178,7 +204,8 @@ def main(argv=None):
         "iters_max": int(iters_all.max()),
         "converged": int(conv_mask.sum()),
         "solves_per_s": best[0], "audit_inf": audit,
-        "audit_lanes": len(devs), "audit_pass_1e-4": bool(audit <= 1e-4)}
+        "audit_lanes": len(devs), "audit_pass_1e-4": bool(audit <= 1e-4),
+        "audit_f64_res_prim": worst_true[0], "audit_f64_res_dual": worst_true[1]}
     print(json.dumps(result))
     # Headline-config artifact (schema-guarded JSONL — VERDICT r3 weak #6:
     # the 4174/s configuration must be recoverable from a committed file).

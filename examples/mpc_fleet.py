@@ -136,6 +136,48 @@ def main():
     print(f"iterations: tick0 p50={np.median(iters[0]):.0f}, "
           f"warm-started p50 over ticks 1+ = {np.median(iters[1:]):.0f}")
     print(f"|u0| respects bound: max {np.abs(u0).max():.3f} <= {u_max}")
+
+    # ---- Factor reuse (static_matrices): P and A are tick-invariant in
+    # MPC, so the KKT factor can be built ONCE before the scan
+    # (models/admm.prepare) instead of once per tick. The effect scales
+    # with the factor's share of a tick — tiny at H=16 (the factor is a
+    # 16x16 inverse), dominant at larger horizons, so measure both.
+    sols_fr = solve_sequence_jit(qp_seq, st, None, False, True)
+    hard_sync(sols_fr.x)
+    t0 = time.perf_counter()
+    sols_fr = solve_sequence_jit(qp_seq, st, None, False, True)
+    hard_sync(sols_fr.x)
+    wall_fr = time.perf_counter() - t0
+    assert (np.asarray(sols_fr.info.status) >= 2).all()
+    dev = np.abs(np.asarray(sols_fr.x) - np.asarray(sols.x)).max()
+    print(f"factor reuse (H={H}): {wall*1e3:.0f} -> {wall_fr*1e3:.0f} ms "
+          f"({wall / wall_fr:.2f}x; max |dx| vs per-tick factor {dev:.1e})")
+
+    H2, B2 = 128, 64
+    P2, F2, G2 = build_condensed_mpc(H2, dt_s, q_w=1.0, r_w=0.05)
+    rng2 = np.random.default_rng(1)
+    q_seq2 = rng2.standard_normal((T, B2, H2)).astype(np.float32) * 0.1
+    qp_seq2 = qps.QP(
+        P=jnp.asarray(np.tile(P2, (T, B2, 1, 1)), jnp.float32),
+        q=jnp.asarray(q_seq2),
+        A=jnp.asarray(np.tile(np.eye(H2), (T, B2, 1, 1)), jnp.float32),
+        l=jnp.full((T, B2, H2), -u_max, jnp.float32),
+        u=jnp.full((T, B2, H2), u_max, jnp.float32),
+    )
+    qp_seq2 = jax.tree.map(lambda x: jax.device_put(x, spec(x.ndim)), qp_seq2)
+    walls = {}
+    for label, static in (("per-tick factor", False), ("factor reuse", True)):
+        s2 = solve_sequence_jit(qp_seq2, st, None, False, static)
+        hard_sync(s2.x)
+        t0 = time.perf_counter()
+        s2 = solve_sequence_jit(qp_seq2, st, None, False, static)
+        hard_sync(s2.x)
+        walls[label] = time.perf_counter() - t0
+        assert (np.asarray(s2.info.status) >= 2).all()
+    speedup = walls["per-tick factor"] / walls["factor reuse"]
+    print(f"factor reuse (H={H2}, B={B2}): "
+          f"{walls['per-tick factor']*1e3:.0f} -> "
+          f"{walls['factor reuse']*1e3:.0f} ms ({speedup:.2f}x tick throughput)")
     return 0
 
 

@@ -195,15 +195,25 @@ def append_headline_record(jsonl_path: str, record: dict,
             datetime.UTC).isoformat(timespec="seconds"),
     }
     row = {**meta, **record}
+    # Guard per row FAMILY (the "bench"/"benchmark" tag): one artifact may
+    # hold several benches' rows (headline + baseline_shape + defaults);
+    # schema drift is checked against the last row of the SAME family. A
+    # deliberately extended schema (new diagnostic columns) is allowed when
+    # it is a strict superset — dropped columns still refuse.
+    fam = row.get("bench") or row.get("benchmark")
     if os.path.exists(jsonl_path):
         with open(jsonl_path) as f:
             lines = [ln for ln in f if ln.strip()]
-        if lines:
-            prev = json.loads(lines[-1])
-            if set(prev) != set(row):
-                raise ValueError(
-                    f"existing record schema {sorted(prev)} != current "
-                    f"{sorted(row)}; refusing to append (schema guard)")
+        prev = None
+        for ln in reversed(lines):
+            r = json.loads(ln)
+            if (r.get("bench") or r.get("benchmark")) == fam:
+                prev = r
+                break
+        if prev is not None and not set(prev) <= set(row):
+            raise ValueError(
+                f"existing record schema {sorted(prev)} is not a subset of "
+                f"current {sorted(row)}; refusing to append (schema guard)")
     with open(jsonl_path, "a") as f:
         f.write(json.dumps(row) + "\n")
     return row

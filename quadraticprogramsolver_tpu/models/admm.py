@@ -55,24 +55,36 @@ def _init_state(qp: QP, settings: Settings, x0, backend, z0=None, y0=None,
                 rho0=None, aa0=None, prepared=None) -> SolverState:
     batch = qp.batch_shape
     dt = qp.dtype
-    x = jnp.zeros(batch + (qp.n,), dt) if x0 is None else jnp.asarray(x0, dt)
+    # lane0: per-lane zeros DERIVED from the problem data, so that under
+    # shard_map (a caller wrapping the solve to localize the convergence
+    # predicate, e.g. benchmarks/weak_scaling.py --ablate) every per-lane
+    # state leaf inherits the shard axis's varying type — a plain
+    # jnp.zeros(batch) is axis-invariant and the while-loop carry would
+    # type-mismatch against its varying updates. Outside shard_map this is
+    # just zeros (q is finite by contract).
+    lane0 = jnp.sum(qp.q * 0, axis=-1)
+    x = (lane0[..., None] + jnp.zeros(batch + (qp.n,), dt) if x0 is None
+         else jnp.asarray(x0, dt))
     if prepared is not None:
         # Factor-reuse path (models/admm.prepare): adopt the prepared cache
         # and ITS rho — the factor is only valid for the rho it was built
         # at. q-dependent cache pieces are refreshed here (one matvec).
-        rho = jnp.broadcast_to(jnp.asarray(prepared.rho, dt), batch)
+        rho = lane0 + jnp.broadcast_to(jnp.asarray(prepared.rho, dt), batch)
         cache = prepared.materialize(qp)
     else:
-        rho = (jnp.full(batch, settings.rho, dt) if rho0 is None
-               else jnp.broadcast_to(jnp.asarray(rho0, dt), batch))
+        rho = lane0 + (jnp.full(batch, settings.rho, dt) if rho0 is None
+                       else jnp.broadcast_to(jnp.asarray(rho0, dt), batch))
         sigma = jnp.asarray(settings.sigma_for(dt), dt)
         cache = backend.init(qp, rho, sigma, settings)
     history = None
     if settings.record_history:
-        buf = lambda: jnp.full((settings.num_checks,) + batch, jnp.inf, dt)
+        buf = lambda: lane0 + jnp.full((settings.num_checks,) + batch,
+                                       jnp.inf, dt)
         history = {"res_prim": buf(), "res_dual": buf(), "rho": buf()}
-    z = jnp.zeros(batch + (qp.m,), dt) if z0 is None else jnp.asarray(z0, dt)
-    y = jnp.zeros(batch + (qp.m,), dt) if y0 is None else jnp.asarray(y0, dt)
+    z = (lane0[..., None] + jnp.zeros(batch + (qp.m,), dt) if z0 is None
+         else jnp.asarray(z0, dt))
+    y = (lane0[..., None] + jnp.zeros(batch + (qp.m,), dt) if y0 is None
+         else jnp.asarray(y0, dt))
     products = None
     if settings.check_infeasibility:
         # Products at the start iterate, so the first check's certificate
@@ -82,16 +94,17 @@ def _init_state(qp: QP, settings: Settings, x0, backend, z0=None, y0=None,
     aa = None
     if settings.anderson_memory > 0:
         aa = aa0 if aa0 is not None else anderson_mod.init_aa(qp, settings)
+    lane0_i = lane0.astype(jnp.int32)
     return SolverState(
         x=x,
         z=z,
         y=y,
         rho=rho,
         rho_cand=rho,
-        status=jnp.zeros(batch, jnp.int32),
-        iterations=jnp.zeros(batch, jnp.int32),
-        res_prim=jnp.full(batch, jnp.inf, dt),
-        res_dual=jnp.full(batch, jnp.inf, dt),
+        status=lane0_i + jnp.zeros(batch, jnp.int32),
+        iterations=lane0_i + jnp.zeros(batch, jnp.int32),
+        res_prim=lane0 + jnp.full(batch, jnp.inf, dt),
+        res_dual=lane0 + jnp.full(batch, jnp.inf, dt),
         iteration=jnp.zeros((), jnp.int32),
         kkt_cache=cache,
         history=history,

@@ -80,3 +80,13 @@ def test_headline_record_schema_guard(tmp_path):
     assert [r["batch"] for r in rows] == [4096, 3072]
     with pytest.raises(ValueError, match="schema guard"):
         append_headline_record(path, {"batch": 2048, "extra_key": 1.0})
+    # Additive columns (strict superset) are a deliberate schema extension
+    # and allowed; the guard still refuses dropped columns (above).
+    append_headline_record(path, {"batch": 1024, "value": 1.0,
+                                  "new_diag": 2.0})
+    # Rows of a DIFFERENT bench family in the same file are guarded
+    # independently of the headline family's schema.
+    append_headline_record(path, {"bench": "defaults", "value": 3.0})
+    append_headline_record(path, {"bench": "defaults", "value": 4.0})
+    with pytest.raises(ValueError, match="schema guard"):
+        append_headline_record(path, {"bench": "defaults", "other": 5.0})
