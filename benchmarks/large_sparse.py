@@ -41,6 +41,10 @@ def main(argv=None):
                    help="skip the host-side Ruiz pre-scaling")
     p.add_argument("--cg-rel", type=float, default=1e-4,
                    help="relative inner CG tolerance (0 = fixed abstol)")
+    p.add_argument("--ci", type=int, default=25,
+                   help="convergence-check cadence (Settings.check_interval;"
+                        " a fine cadence reveals the exact exit iteration — "
+                        "the config-4 exit-granularity probe)")
     p.add_argument("--storage", choices=("bcoo", "ell"), default="bcoo")
     p.add_argument("--segmented", action="store_true",
                    help="bounded device segments + host-side rho adaptation "
@@ -105,7 +109,7 @@ def main(argv=None):
     st = qps.Settings(max_iterations=args.iters, eps_abs=args.eps,
                       eps_rel=args.eps, rho=0.1, adaptive_rho=True,
                       cg_eps=1e-6, cg_max_iterations=200,
-                      cg_rel_eps=args.cg_rel)
+                      cg_rel_eps=args.cg_rel, check_interval=args.ci)
 
     if args.mesh:
         from quadraticprogramsolver_tpu.parallel.sparse_mesh import (
