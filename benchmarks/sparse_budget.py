@@ -52,6 +52,12 @@ def main(argv=None):
     p.add_argument("--eps", type=float, default=1e-4)
     p.add_argument("--iters", type=int, default=300)
     p.add_argument("--storage", choices=("bcoo", "ell"), default="bcoo")
+    p.add_argument("--cadence-probe", action="store_true",
+                   help="run ONLY the check-interval probe (ci=25 baseline "
+                        "vs ci=5 fine cadence) at the baseline forcing "
+                        "config and fold the result into the existing "
+                        "artifact — answers how much of the 150-iteration "
+                        "count is exit granularity (VERDICT r4 item 8)")
     args = p.parse_args(argv)
 
     import jax
@@ -77,6 +83,37 @@ def main(argv=None):
                              storage=args.storage)
     log(f"n={args.n} m={data.m} nnz(P)={data.P.nnz} nnz(A)={data.A.nnz} "
         f"prepared in {time.perf_counter()-t0:.1f}s on {jax.devices()[0]}")
+
+    if args.cadence_probe:
+        rows = []
+        for ci in (25, 5):
+            st = qps.Settings(max_iterations=args.iters, eps_abs=args.eps,
+                              eps_rel=args.eps, rho=0.1, adaptive_rho=True,
+                              cg_eps=1e-6, cg_max_iterations=200,
+                              cg_rel_eps=1e-4, check_interval=ci)
+            sol = qps.solve_jit(sqp, st, scaling=scaling)
+            hard_sync(sol.x)
+            t0 = time.perf_counter()
+            sol = qps.solve_jit(sqp, st, scaling=scaling)
+            hard_sync(sol.x)
+            dt = time.perf_counter() - t0
+            row = {"check_interval": ci, "solve_s": dt,
+                   "exit_iteration": int(sol.info.iterations),
+                   "status": qps.Status(int(sol.info.status)).name,
+                   "res_prim": float(sol.info.res_prim),
+                   "res_dual": float(sol.info.res_dual)}
+            rows.append(row)
+            log(f"  ci={ci}: {dt:.1f} s, exit at iteration "
+                f"{row['exit_iteration']}, status {row['status']}")
+        path = os.path.join(os.path.dirname(__file__), "results",
+                            "config4_large_sparse.json")
+        with open(path) as f:
+            artifact = json.load(f)
+        artifact["cadence_probe"] = rows
+        with open(path, "w") as f:
+            json.dump(artifact, f, indent=1)
+        print(json.dumps({"cadence_probe": rows}))
+        return 0
 
     # ---- 1. matvec budget units ------------------------------------------
     # Every dispatch through the remote-TPU relay costs ~27 ms, so a single
