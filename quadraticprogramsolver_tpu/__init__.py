@@ -17,7 +17,10 @@ from .core.state import SolveInfo, Solution, Status
 from .frontends.reuse import CachedQPSolver
 from .models.admm import PreparedFactor, prepare, prepare_jit, solve, solve_jit
 from .models.plan import SolvePlan, plan, plan_proxqp
-from .models.proxqp import ProxQPSolution, solve as solve_proxqp
+from .models.proxqp import (
+    PreparedProxFactor, ProxQPSolution, prepare as prepare_proxqp,
+    solve as solve_proxqp,
+)
 from .models.proxqp import solve_jit as solve_proxqp_jit
 from .problems.generator import ALL_CLASSES, ProblemClass, generate_batch, generate_random_qp
 
@@ -49,6 +52,8 @@ __all__ = [
     "PreparedFactor",
     "prepare",
     "prepare_jit",
+    "PreparedProxFactor",
+    "prepare_proxqp",
     "CachedQPSolver",
     "solve_proxqp",
     "solve_proxqp_jit",

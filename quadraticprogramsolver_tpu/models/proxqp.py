@@ -215,8 +215,70 @@ def _jacobi_inv(prob, rho, sigma):
     return jnp.where(d > 0, 1.0 / d, 1.0)
 
 
+@_pytree_dataclass
+@dataclasses.dataclass(frozen=True)
+class PreparedProxFactor:
+    """Prox-ALM factor prepared once for repeated solves.
+
+    The reference ProxQP's own contract: the constructor factors M
+    (`/root/reference/ProxQP.jl:73-115`) and `SolveQuadraticProgram!`
+    reuses the Cholesky across calls (`:118-173`). Here: P, A, C fixed;
+    q, b, d free between solves; the solve starts at the prepared rho
+    (adaptive rho then refactors in-loop on trips as usual). ``M_inv`` is
+    carried only on the sigma-free path to refresh the q-dependent
+    ``g = M^{-1}q`` per solve (Ga/Gc are q-independent).
+    """
+
+    cache: object            # {Ga, Gc} (sigma-free), M_inv (dense), or diag
+    rho: jax.Array
+    M_inv: object = None
+
+    def materialize(self, prob):
+        if self.M_inv is not None:
+            return {"Ga": self.cache["Ga"], "Gc": self.cache["Gc"],
+                    "g": matvec(self.M_inv, prob.q)}
+        return self.cache
+
+
+def prepare(prob, settings: ProxQPSettings = ProxQPSettings(),
+            rho0=None) -> PreparedProxFactor:
+    """Factor M = P + rho(A'A + C'C) (+ sigma I) once for repeated solves.
+
+    Jittable. Covers all three factor paths: dense explicit M^{-1},
+    sigma-free {Ga, Gc} (+ internal M^{-1} for per-q g refresh), and the
+    matrix-free Jacobi diagonal. Note a prepared problem skips the
+    internal 128-pad — prepare on a pre-padded problem
+    (:func:`~..core.problem.pad_proxqp`) if the fused chunk is wanted.
+    """
+    dt = prob.dtype
+    batch = prob.batch_shape
+    rho = (jnp.full(batch, settings.rho, dt) if rho0 is None
+           else jnp.broadcast_to(jnp.asarray(rho0, dt), batch))
+    sigma = jnp.asarray(settings.sigma, dt)
+    with jax.default_matmul_precision("highest"):
+        if settings.sigma_free_rhs:
+            if not prob.is_dense:
+                raise ValueError("sigma_free_rhs needs a dense ProxQP problem")
+            from ..ops.linalg import spd_inverse
+
+            K = (jnp.einsum("...ki,...kj->...ij", prob.A, prob.A)
+                 + jnp.einsum("...ki,...kj->...ij", prob.C, prob.C))
+            M_inv = spd_inverse(prob.P + rho[..., None, None] * K)
+            Ga = jnp.einsum("...ij,...kj->...ik", M_inv, prob.A)
+            Gc = jnp.einsum("...ij,...kj->...ik", M_inv, prob.C)
+            return PreparedProxFactor(cache={"Ga": Ga, "Gc": Gc}, rho=rho,
+                                      M_inv=M_inv)
+        if prob.is_dense:
+            return PreparedProxFactor(cache=_build_M_inv(prob, rho, sigma),
+                                      rho=rho)
+        return PreparedProxFactor(cache=_jacobi_inv(prob, rho, sigma), rho=rho)
+
+
+prepare_jit = jax.jit(prepare, static_argnames=("settings",))
+
+
 def solve(prob, settings: ProxQPSettings = ProxQPSettings(),
-          init=None, rho0=None) -> ProxQPSolution:
+          init=None, rho0=None, prepared=None) -> ProxQPSolution:
     """Solve a (batched) split-form QP (dense ProxQPProblem or matrix-free
     SparseProxQP). Jittable; `settings` static.
 
@@ -231,11 +293,11 @@ def solve(prob, settings: ProxQPSettings = ProxQPSettings(),
         check_require_fused(plan_proxqp(prob, settings), "prox-ALM")
     # Full-f32 matmul accumulation on TPU (see models/admm.py rationale).
     with jax.default_matmul_precision("highest"):
-        return _solve_impl(prob, settings, init, rho0)
+        return _solve_impl(prob, settings, init, rho0, prepared)
 
 
 def _solve_impl(prob, settings: ProxQPSettings, init,
-                rho0=None) -> ProxQPSolution:
+                rho0=None, prepared=None) -> ProxQPSolution:
     dt = prob.dtype
     batch = prob.batch_shape
     sigma = jnp.asarray(settings.sigma, dt)
@@ -258,8 +320,9 @@ def _solve_impl(prob, settings: ProxQPSettings, init,
     # on the UNpadded problem — its equality-KKT solve would be singular on
     # all-zero padded rows.
     orig_dims = None
-    if (settings.fused_chunk and prob.is_dense and prob.dtype == jnp.float32
-            and len(batch) == 1):
+    if (prepared is None
+            and settings.fused_chunk and prob.is_dense
+            and prob.dtype == jnp.float32 and len(batch) == 1):
         from ..core.problem import pad_proxqp
 
         r128 = lambda v: max(-(-v // 128) * 128, 128)
@@ -276,8 +339,13 @@ def _solve_impl(prob, settings: ProxQPSettings, init,
             s = vpad(s, tgt[2])
             z = vpad(z, tgt[2])
 
-    rho = (jnp.full(batch, settings.rho, dt) if rho0 is None
-           else jnp.broadcast_to(jnp.asarray(rho0, dt), batch))
+    if prepared is not None:
+        # Factor reuse (see prepare): adopt the prepared rho — the factor
+        # is only valid at its own rho.
+        rho = jnp.broadcast_to(jnp.asarray(prepared.rho, dt), batch)
+    else:
+        rho = (jnp.full(batch, settings.rho, dt) if rho0 is None
+               else jnp.broadcast_to(jnp.asarray(rho0, dt), batch))
     sigma_free = settings.sigma_free_rhs
     if sigma_free:
         if not prob.is_dense:
@@ -288,7 +356,9 @@ def _solve_impl(prob, settings: ProxQPSettings, init,
     # "factor": cached explicit inverse (dense), the {Ga, Gc, g} column
     # cache (sigma_free), or the Jacobi diagonal (matrix-free CG) —
     # refreshed only on rho updates.
-    if sigma_free:
+    if prepared is not None:
+        factor = prepared.materialize(prob)
+    elif sigma_free:
         factor = _build_sigma_free_cache(prob, rho, settings)
     elif prob.is_dense:
         factor = _build_M_inv(prob, rho, sigma)

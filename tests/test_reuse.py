@@ -129,6 +129,67 @@ class TestPreparedFactor:
                       prepared=admm.prepare(qp, SET))
 
 
+class TestPreparedProxFactor:
+    def _prob(self, seed=0, dtype=np.float64):
+        rng = np.random.default_rng(seed)
+        n, me, mi = 24, 6, 10
+        M = rng.standard_normal((n, n))
+        P = M @ M.T + 0.5 * np.eye(n)
+        A = rng.standard_normal((me, n))
+        C = rng.standard_normal((mi, n))
+        xf = rng.standard_normal(n)
+        return qps.make_proxqp(P, rng.standard_normal(n), A, A @ xf, C,
+                               C @ xf + rng.random(mi), dtype=dtype)
+
+    ST = qps.ProxQPSettings(max_iterations=2000, eps_abs=1e-9, eps_rel=1e-9)
+
+    def test_dense_matches_plain(self):
+        from quadraticprogramsolver_tpu.models import proxqp
+
+        prob = self._prob()
+        plain = qps.solve_proxqp_jit(prob, self.ST)
+        prep = proxqp.prepare_jit(prob, self.ST)
+        reused = qps.solve_proxqp_jit(prob, self.ST, None, None, prep)
+        assert bool(plain.info.converged) and bool(reused.info.converged)
+        assert int(plain.info.iterations) == int(reused.info.iterations)
+        assert np.abs(np.asarray(plain.x) - np.asarray(reused.x)).max() < 1e-9
+
+    def test_sigma_free_new_q(self):
+        from quadraticprogramsolver_tpu.models import proxqp
+
+        st = dataclasses.replace(self.ST, sigma_free_rhs=True,
+                                 kkt_refinement_steps=0, eps_abs=1e-8,
+                                 eps_rel=1e-8)
+        prob = self._prob(seed=2)
+        prep = proxqp.prepare_jit(prob, st)
+        prob2 = dataclasses.replace(prob, q=1.7 * prob.q - 0.2)
+        fresh = qps.solve_proxqp_jit(prob2, st)
+        reused = qps.solve_proxqp_jit(prob2, st, None, None, prep)
+        assert bool(reused.info.converged)
+        assert np.abs(np.asarray(fresh.x) - np.asarray(reused.x)).max() < 1e-6
+
+    def test_matrix_free_diag(self):
+        import scipy.sparse as sp
+
+        from quadraticprogramsolver_tpu.models import proxqp
+
+        rng = np.random.default_rng(5)
+        n = 32
+        P = sp.identity(n) * 2.0
+        A = sp.random(2, n, density=0.5, random_state=rng,
+                      data_rvs=rng.standard_normal)
+        C = sp.identity(n)
+        xf = rng.standard_normal(n)
+        prob = qps.make_sparse_proxqp(P, rng.standard_normal(n), A,
+                                      np.asarray(A @ xf).ravel(), C,
+                                      xf + 0.5, dtype=np.float64)
+        st = dataclasses.replace(self.ST, eps_abs=1e-8, eps_rel=1e-8)
+        plain = qps.solve_proxqp_jit(prob, st)
+        prep = proxqp.prepare_jit(prob, st)
+        reused = qps.solve_proxqp_jit(prob, st, None, None, prep)
+        assert np.abs(np.asarray(plain.x) - np.asarray(reused.x)).max() < 1e-8
+
+
 class TestCachedQPSolver:
     def test_update_vectors_matches_fresh_solve(self):
         qp = fleet()
