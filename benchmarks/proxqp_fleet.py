@@ -179,8 +179,14 @@ def main(argv=None):
         rd64 = np.abs(P64 @ xi + np.asarray(prob.q[i], np.float64)
                       + A64.T @ np.asarray(y_all[i], np.float64)
                       + C64.T @ np.asarray(z_all[i], np.float64)).max()
+        # Complementarity |z.s|: NOT part of the PIQP 13a-c exit tests — if
+        # it is large at exit while rp/rd are small, the solution sits off
+        # the active set (the candidate mechanism for an audit miss at
+        # small iteration counts).
+        comp64 = np.abs(np.asarray(z_all[i], np.float64)
+                        * np.asarray(s_all[i], np.float64)).max()
         log(f"  lane {i}: device (rp, rd) = ({dev_rp[i]:.2e}, {dev_rd[i]:.2e})"
-            f"  f64 (rp, rd) = ({rp64:.2e}, {rd64:.2e})")
+            f"  f64 (rp, rd, z.s) = ({rp64:.2e}, {rd64:.2e}, {comp64:.2e})")
         worst_true = (max(worst_true[0], rp64), max(worst_true[1], rd64))
         ref = solve_qp_reference(
             np.asarray(box.P[i], np.float64), np.asarray(box.q[i], np.float64),
