@@ -184,6 +184,105 @@ def main():
     print(f"factor reuse (H={H2}, B={B2}): "
           f"{walls['per-tick factor']*1e3:.0f} -> "
           f"{walls['factor reuse']*1e3:.0f} ms ({speedup:.2f}x tick throughput)")
+
+    # Headline-scale ticks via solve_sequence_vectors (P/A stored ONCE, not
+    # tiled T times — at this shape the tiled P alone would be T x 2 GiB):
+    # at n=512 and fleet-scale B the factor is ~64% of a warm solve (BENCH
+    # r4/r5 split), the regime where setup/update/solve pays. On CPU this
+    # shrinks to a smoke shape.
+    from quadraticprogramsolver_tpu.frontends.sequence import (
+        solve_sequence_vectors_jit)
+
+    on_tpu = jax.default_backend() == "tpu"
+    H3, B3, T3 = (512, 2048, 8) if on_tpu else (64, 32, 4)
+    rng3 = np.random.default_rng(2)
+    M3 = rng3.standard_normal((H3, H3)).astype(np.float32)
+    P3 = (M3 @ M3.T / H3 + 0.01 * np.eye(H3, dtype=np.float32))
+    # P/A stored UNBATCHED (shared across the fleet): the batch shape comes
+    # from q, and every consumer broadcasts — this also keeps the
+    # host->device transfer at ~2 MB instead of 2 GiB through the relay.
+    qp3 = qps.QP(
+        P=jnp.asarray(P3),
+        q=jnp.asarray(rng3.standard_normal((B3, H3)).astype(np.float32)),
+        A=jnp.asarray(np.eye(H3, dtype=np.float32)),
+        l=jnp.full((B3, H3), -u_max, jnp.float32),
+        u=jnp.full((B3, H3), u_max, jnp.float32),
+    )
+    # Receding-horizon drift: each tick's cost is a small perturbation of
+    # the last (the MPC regime warm starts exist for) — NOT fresh random
+    # costs, which would make every tick a cold solve of a new problem
+    # (probed on-chip: fresh-q ticks run p50 60 iterations regardless of
+    # the warm start; drifting-q ticks run ~12).
+    q0 = rng3.standard_normal((B3, H3)).astype(np.float32)
+    dq = rng3.standard_normal((T3, B3, H3)).astype(np.float32) * 0.02
+    q_seq3 = jnp.asarray(q0[None] + np.cumsum(dq, axis=0))
+    # rho=0.4: the family-tuned penalty (p50 24 iters vs 60 at 0.1 — probed
+    # on-chip); static rho so the prepared factor stays valid all horizon.
+    st3 = qps.Settings(max_iterations=1000, eps_abs=1e-4, eps_rel=1e-4,
+                       rho=0.4, adaptive_rho=False, check_interval=12)
+    # (a) One-program scan: solve_sequence_vectors with/without the carried
+    # prepared factor. NOTE the honest finding: inside a single scan XLA's
+    # loop-invariant code motion already hoists most of the P/A-only factor
+    # work, so the explicit reuse buys only the residual (measured ~1.2x) —
+    # the API's guarantee matters where no compiler can help: ACROSS
+    # dispatches, measured in (b).
+    walls3 = {}
+    for label, reuse in (("per-tick factor", False), ("factor reuse", True)):
+        s3 = solve_sequence_vectors_jit(qp3, q_seq3, None, None, st3, None,
+                                        reuse)
+        hard_sync(s3.x)
+        t0 = time.perf_counter()
+        s3 = solve_sequence_vectors_jit(qp3, q_seq3, None, None, st3, None,
+                                        reuse)
+        hard_sync(s3.x)
+        walls3[label] = time.perf_counter() - t0
+        assert (np.asarray(s3.info.status) >= 2).all()
+    speedup3 = walls3["per-tick factor"] / walls3["factor reuse"]
+    print(f"factor reuse, one-program scan (n={H3}, B={B3}, T={T3} ticks): "
+          f"{walls3['per-tick factor']*1e3:.0f} -> "
+          f"{walls3['factor reuse']*1e3:.0f} ms "
+          f"({speedup3:.2f}x tick throughput)")
+
+    # (b) Host-driven ticks (one dispatch per tick — the deployment shape
+    # when tick data arrives from outside): every fresh solve_jit call
+    # re-pays the factor; CachedQPSolver pays it once at setup.
+    import dataclasses as _dc
+
+    q_host = np.asarray(q_seq3)
+
+    def naive_ticks():
+        warm = (None, None, None)
+        for t in range(T3):
+            qp_t = _dc.replace(qp3, q=jnp.asarray(q_host[t]))
+            sol_t = qps.solve_jit(qp_t, st3, *warm)
+            warm = (sol_t.x, sol_t.z, sol_t.y)
+        hard_sync(sol_t.x)
+        return sol_t
+
+    naive_ticks()                         # warm both program variants
+    t0 = time.perf_counter()
+    sol_t = naive_ticks()
+    naive = time.perf_counter() - t0
+
+    solver = qps.CachedQPSolver(qp3, st3)
+
+    def cached_ticks():
+        for t in range(T3):
+            solver.update(q=q_host[t])
+            sol_c = solver.solve(warm_start=(t > 0))
+        hard_sync(sol_c.x)
+        return sol_c
+
+    cached_ticks()                        # setup + compile both variants
+    t0 = time.perf_counter()
+    sol_c = cached_ticks()
+    cached = time.perf_counter() - t0
+    assert (np.asarray(sol_c.info.status) >= 2).all()
+    dev3 = np.abs(np.asarray(sol_c.x) - np.asarray(sol_t.x)).max()
+    print(f"factor reuse, host-driven ticks (n={H3}, B={B3}, {T3} ticks): "
+          f"{naive*1e3:.0f} -> {cached*1e3:.0f} ms "
+          f"({naive / cached:.2f}x tick throughput; final-tick |dx| "
+          f"{dev3:.1e})")
     return 0
 
 

@@ -95,3 +95,55 @@ def solve_sequence(qp_seq: QP, settings: Settings = Settings(),
 solve_sequence_jit = jax.jit(
     solve_sequence,
     static_argnames=("settings", "carry_rho", "static_matrices"))
+
+
+def solve_sequence_vectors(qp0: QP, q_seq, l_seq=None, u_seq=None,
+                           settings: Settings = Settings(),
+                           init=None, reuse_factor: bool = True) -> Solution:
+    """Static-matrix MPC sequence with per-tick VECTORS only.
+
+    The memory-right form of ``solve_sequence(static_matrices=True)``: P and
+    A are stored ONCE at the fleet shape (*B, ...) instead of being tiled T
+    times along the scan axis — at headline scale (B=4096, n=512) the tiled
+    P alone would be T x 4 GiB. ``q_seq`` carries (T, *B, n); ``l_seq`` /
+    ``u_seq`` optionally carry (T, *B, m) (default: qp0's bounds reused
+    every tick). The KKT factor is built once (:func:`models.admm.prepare`)
+    and every tick reuses it (``reuse_factor=False`` re-pays it per tick —
+    the A/B baseline). Warm-starts (x, z, y) between ticks.
+    """
+    T = q_seq.shape[0]
+    batch = qp0.batch_shape
+    dt = qp0.dtype
+    n, m = qp0.n, qp0.m
+
+    if init is None:
+        x0 = jnp.zeros(batch + (n,), dt)
+        z0 = jnp.zeros(batch + (m,), dt)
+        y0 = jnp.zeros(batch + (m,), dt)
+    else:
+        x0, z0, y0 = (jnp.asarray(v, dt) for v in init)
+
+    if l_seq is None:
+        l_seq = jnp.broadcast_to(qp0.l, (T,) + qp0.l.shape)
+    if u_seq is None:
+        u_seq = jnp.broadcast_to(qp0.u, (T,) + qp0.u.shape)
+    # The prepared factor rides the scan CARRY, not the closure: a captured
+    # multi-GiB M_inv constant gets a parameter layout XLA then relayouts
+    # inside every while iteration (measured on-chip: the reuse program ran
+    # 4x SLOWER than re-factoring until the cache moved into the carry).
+    prepared = admm.prepare(qp0, settings) if reuse_factor else None
+
+    def step(carry, tick):
+        x, z, y, prep = carry
+        q_t, l_t, u_t = tick
+        qp_t = QP(P=qp0.P, q=q_t, A=qp0.A, l=l_t, u=u_t)
+        sol = admm.solve(qp_t, settings, x0=x, z0=z, y0=y, prepared=prep)
+        return (sol.x, sol.z, sol.y, prep), sol
+
+    _, sols = jax.lax.scan(step, (x0, z0, y0, prepared),
+                           (q_seq, l_seq, u_seq))
+    return sols
+
+
+solve_sequence_vectors_jit = jax.jit(
+    solve_sequence_vectors, static_argnames=("settings", "reuse_factor"))
