@@ -222,6 +222,54 @@ class TestCachedQPSolver:
             solver.update(q=np.zeros((4, 13)))
 
 
+class TestSequenceVectors:
+    def test_matches_full_sequence_and_reuse_modes_agree(self):
+        import jax.numpy as jnp
+
+        from quadraticprogramsolver_tpu.frontends.sequence import (
+            solve_sequence_jit, solve_sequence_vectors_jit)
+
+        T, B, n, m = 4, 3, 24, 12
+        qp0 = fleet(batch=B, n=n, m=m, seed=9)
+        drift = jnp.linspace(0.0, 1.0, T)[:, None, None]
+        q_seq = qp0.q * (1.0 + 0.25 * drift)
+        # reuse on/off must agree exactly (same rho, same factor values).
+        a = solve_sequence_vectors_jit(qp0, q_seq, None, None, SET, None, True)
+        b = solve_sequence_vectors_jit(qp0, q_seq, None, None, SET, None,
+                                       False)
+        assert np.abs(np.asarray(a.x) - np.asarray(b.x)).max() < 1e-9
+        assert np.array_equal(np.asarray(a.info.iterations),
+                              np.asarray(b.info.iterations))
+        # And match the tiled-matrix sequence front-end.
+        qp_seq = qps.QP(
+            P=jnp.broadcast_to(qp0.P, (T, B, n, n)), q=q_seq,
+            A=jnp.broadcast_to(qp0.A, (T, B, m, n)),
+            l=jnp.broadcast_to(qp0.l, (T, B, m)),
+            u=jnp.broadcast_to(qp0.u, (T, B, m)))
+        c = solve_sequence_jit(qp_seq, SET, None, False, False)
+        assert np.abs(np.asarray(a.x) - np.asarray(c.x)).max() < 1e-9
+
+    def test_bounds_sequences(self):
+        import jax.numpy as jnp
+
+        from quadraticprogramsolver_tpu.frontends.sequence import (
+            solve_sequence_vectors_jit)
+
+        T, B, n, m = 3, 2, 16, 8
+        qp0 = fleet(batch=B, n=n, m=m, seed=4)
+        q_seq = jnp.broadcast_to(qp0.q, (T, B, n))
+        widen = jnp.asarray([0.0, 0.1, 0.2])[:, None, None]
+        l_seq = qp0.l[None] - widen
+        u_seq = qp0.u[None] + widen
+        sols = solve_sequence_vectors_jit(qp0, q_seq, l_seq, u_seq, SET)
+        assert (np.asarray(sols.info.status) >= 2).all()
+        # Tick t must equal a standalone solve of its bounds (warm starts
+        # change iterates' paths but not solutions at tight eps).
+        last = qps.solve_jit(dataclasses.replace(
+            qp0, l=l_seq[-1], u=u_seq[-1]), SET)
+        assert np.abs(np.asarray(sols.x[-1]) - np.asarray(last.x)).max() < 1e-5
+
+
 class TestSequenceStaticMatrices:
     def test_matches_per_tick_solves(self):
         import jax.numpy as jnp
