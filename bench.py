@@ -165,13 +165,16 @@ def headline_settings(on_tpu: bool):
         eps_rel=1e-4,
         rho=0.4,
         adaptive_rho=True,
-        # ci=12 aligns exits with the family's true convergence cluster
-        # (ci=1 probe: p10 20 / p50 21 / p90 22 / max 23 at B=64) — exits
-        # at 24/36 instead of 26/39. On-chip sweep at B=4096 slab+lanes:
-        # ci 13 -> 11,724, 11 -> 12,118, 12 -> 12,142, 21 -> 11,290,
-        # 22 -> 11,909 solves/s. (rho/alpha re-swept round 4: 0.4/1.6
-        # still optimal — alpha 1.7/1.8 cost +50/+100% iterations.)
-        check_interval=12,
+        # ci=11 aligns exits with the family's true convergence cluster
+        # (ci=1 probe: p10 20 / p50 21 / p90 22 / max 23 at B=64) — p50
+        # exits at 22 instead of 24. Re-swept round 5 under the final
+        # bf16x3+slab stack: ci 10 -> 13,976, 11 -> 14,647, 12 -> 14,507,
+        # 13 -> 14,273; the 11-vs-12 edge replicates in all four paired
+        # reps (14,510-14,647 vs 14,378-14,507). (Round-4 sweep at the
+        # pre-bf16 stack had 11/12 within noise; rho/alpha re-swept round
+        # 4: 0.4/1.6 still optimal — alpha 1.7/1.8 cost +50/+100%
+        # iterations.)
+        check_interval=11,
         kkt_refinement_steps=0,
         sigma_free_rhs=True,
         fused_chunk=on_tpu,
