@@ -140,6 +140,67 @@ def test_prox_block_split_matches_single_device():
         assert dev <= 1e-8, (leaf, dev)
 
 
+def test_prox_block_split_adaptive_rho_and_history():
+    # The tau-triggered double-sqrt rho rule and the per-check trace must
+    # behave identically distributed: start rho far off so adaptation trips.
+    from quadraticprogramsolver_tpu.parallel.prox_consensus import (
+        solve_prox_block_split)
+
+    rng = np.random.default_rng(21)
+    n, me, mi = 24, 8, 16
+    M = rng.standard_normal((n, n))
+    P_ = M @ M.T + 0.5 * np.eye(n)
+    A = rng.standard_normal((me, n))
+    C = rng.standard_normal((mi, n))
+    xf = rng.standard_normal(n)
+    prob = qps.make_proxqp(P_, rng.standard_normal(n), A, A @ xf, C,
+                           C @ xf + rng.random(mi), dtype=np.float64)
+    st = qps.ProxQPSettings(max_iterations=2000, eps_abs=1e-9, eps_rel=1e-9,
+                            rho=1e-4, adaptive_rho=True,
+                            kkt_warm_start=False, record_history=True)
+    plain = qps.solve_proxqp_jit(prob, st)
+    dist = solve_prox_block_split(prob, st)
+    assert bool(plain.info.converged) and bool(dist.info.converged)
+    assert float(dist.info.rho) > 1e-4  # adaptation really tripped
+    # Identical adaptation trajectory (the rho trace matches below);
+    # the final value agrees to program-reordering rounding (~5e-12).
+    assert abs(float(plain.info.rho) - float(dist.info.rho)) < 1e-9
+    assert int(plain.info.iterations) == int(dist.info.iterations)
+    assert np.abs(np.asarray(plain.x) - np.asarray(dist.x)).max() <= 1e-8
+    hp = plain.info.history
+    hd = dist.info.history
+    ran = np.isfinite(np.asarray(hp["res_prim"]))
+    assert np.allclose(np.asarray(hp["res_prim"])[ran],
+                       np.asarray(hd["res_prim"])[ran], rtol=1e-8)
+    assert np.allclose(np.asarray(hp["rho"])[ran],
+                       np.asarray(hd["rho"])[ran], rtol=1e-12)
+
+
+def test_prox_block_split_detects_infeasible():
+    # Contradictory equalities (same row, different b): both the batched
+    # solver and the distributed one must flag PRIMAL_INFEASIBLE via the
+    # split-form Farkas certificates.
+    from quadraticprogramsolver_tpu.parallel.prox_consensus import (
+        solve_prox_block_split)
+
+    rng = np.random.default_rng(8)
+    n, mi = 16, 8
+    P_ = np.eye(n)
+    row = rng.standard_normal(n)
+    A = np.stack([row, row])
+    b = np.array([1.0, -1.0])        # row.x = 1 AND row.x = -1
+    C = rng.standard_normal((mi, n))
+    d = C @ rng.standard_normal(n) + 1.0
+    prob = qps.make_proxqp(P_, rng.standard_normal(n), A, b, C, d,
+                           dtype=np.float64)
+    st = qps.ProxQPSettings(max_iterations=2000, eps_abs=1e-9, eps_rel=1e-9,
+                            kkt_warm_start=False)
+    plain = qps.solve_proxqp_jit(prob, st)
+    dist = solve_prox_block_split(prob, st)
+    assert int(plain.info.status) == qps.Status.PRIMAL_INFEASIBLE
+    assert int(dist.info.status) == qps.Status.PRIMAL_INFEASIBLE
+
+
 def test_prox_block_split_row_padding():
     # me/mi not divisible by 8 devices: the solver pads with inert rows and
     # returns duals at the original counts.
