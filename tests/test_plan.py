@@ -147,6 +147,53 @@ class TestEagerPrePad:
         assert dev < 1e-5, dev
 
 
+class TestPlanPropertyGrid:
+    """Plan/solve consistency across a shape x settings grid: plan() must
+    never raise, require_fused must agree with plan.fallback_reasons, and
+    every combination must actually solve (statuses valid)."""
+
+    SHAPES = [(1, 128, 128), (4, 128, 128), (3, 100, 60), (2, 16, 8),
+              (6, 128, 128), (2, 30, 0)]
+    STACKS = [
+        qps.Settings(max_iterations=300, eps_abs=1e-4, eps_rel=1e-4, rho=0.1),
+        dataclasses.replace(FUSED, max_iterations=300, rho=0.1,
+                            eps_abs=1e-4, eps_rel=1e-4),
+        dataclasses.replace(FUSED, max_iterations=300, rho=0.1,
+                            eps_abs=1e-4, eps_rel=1e-4, chunk_lanes=2,
+                            chunk_dot_precision="high"),
+        qps.Settings(max_iterations=300, eps_abs=1e-4, eps_rel=1e-4, rho=0.1,
+                     kkt_backend=qps.KKTBackendKind.KKT_LDL),
+    ]
+
+    def test_grid(self):
+        rng = np.random.default_rng(0)
+        for B, n, m in self.SHAPES:
+            M = rng.standard_normal((B, n, n)).astype(np.float32)
+            P = (np.einsum("bki,bkj->bij", M, M) / n
+                 + 0.1 * np.eye(n, dtype=np.float32))
+            A = rng.standard_normal((B, m, n)).astype(np.float32)
+            l = -(rng.random((B, m)).astype(np.float32) + 0.5)
+            u = rng.random((B, m)).astype(np.float32) + 0.5
+            qp = qps.QP(P=jnp.asarray(P),
+                        q=jnp.asarray(rng.standard_normal((B, n)).astype(np.float32)),
+                        A=jnp.asarray(A), l=jnp.asarray(l), u=jnp.asarray(u))
+            for st in self.STACKS:
+                if st.kkt_backend is qps.KKTBackendKind.KKT_LDL and m == 0:
+                    continue  # empty KKT block; CHOLESKY covers m=0
+                p = plan_mod.plan(qp, st)  # must never raise
+                strict = dataclasses.replace(st, require_fused=True)
+                if p.fallback_reasons:
+                    with pytest.raises(ValueError, match="require_fused"):
+                        qps.solve(qp, strict)
+                else:
+                    sol = qps.solve_jit(qp, strict)
+                    assert (np.asarray(sol.info.status) >= 1).all()
+                sol = qps.solve_jit(qp, st)
+                status = np.asarray(sol.info.status)
+                assert ((status >= 1) & (status <= 5)).all(), (B, n, m, st)
+                assert np.isfinite(np.asarray(sol.x)).all(), (B, n, m, st)
+
+
 class TestHeadlineStacksStayFused:
     """The bench.py knob ladder must plan fully-fused on the bench shapes.
 
