@@ -45,7 +45,7 @@ from ..core.problem import ProxQPProblem
 from ..core.settings import ProxQPSettings
 from ..core.state import Status
 from ..core.pytree import pytree_dataclass as _pytree_dataclass
-from ..ops.linalg import add_scaled_identity, inf_norm, matvec, matvec_t, spd_inverse
+from ..ops.linalg import add_scaled_identity, inf_norm, matvec, spd_inverse
 
 
 @_pytree_dataclass
