@@ -68,6 +68,31 @@ def test_indivisible_fleet_rejected():
         shard_fleet(qp, make_fleet_mesh())
 
 
+def test_prepared_factor_shards_with_fleet():
+    """Factor reuse under GSPMD: prepare() on a sharded fleet produces a
+    sharded PreparedFactor, and the prepared solve matches the unsharded
+    prepared solve — the MPC-fleet deployment shape (factor once, ticks
+    sharded over the mesh)."""
+    from quadraticprogramsolver_tpu.models import admm
+
+    qp = qps.generate_batch(qps.ProblemClass.RANDOM_QP, batch=16,
+                            num_elements=20, seed=0, dtype=np.float64)
+    st = qps.Settings(max_iterations=2000, eps_abs=1e-8, eps_rel=1e-8,
+                      rho=0.1, adaptive_rho=False)
+    prep_plain = admm.prepare_jit(qp, st)
+    ref = qps.solve_jit(qp, st, None, None, None, None, None, prep_plain)
+
+    sq = shard_fleet(qp, make_fleet_mesh())
+    prep = admm.prepare_jit(sq, st)
+    # The cache inherits the fleet sharding (per-device factor shards).
+    assert {s.data.shape for s in prep.cache["M_inv"].addressable_shards} \
+        == {(2, 20, 20)}
+    sol = qps.solve_jit(sq, st, None, None, None, None, None, prep)
+    assert np.abs(np.asarray(ref.x) - np.asarray(sol.x)).max() <= 1e-10
+    assert np.array_equal(np.asarray(ref.info.status),
+                          np.asarray(sol.info.status))
+
+
 def test_prox_fleet_matches_single_device():
     """SURVEY §2 parallelism mandate, extended to the SECOND solver family:
     a sharded prox-ALM fleet must match the single-device batched solve."""
