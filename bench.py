@@ -192,9 +192,15 @@ def headline_settings(on_tpu: bool):
     # slab_cache + lanes=2 + bf16x3 dots is the measured-best headline
     # config (see the ladder comments in main for the full measurement
     # trail); slab_hi is its full-f32-dot sibling.
+    # first_chunk_dot_precision="default" (round 5): the far-from-fixed-
+    # point FIRST chunk runs 1-pass bf16 dots (43.1 vs 62.3 ms/chunk);
+    # measured IDENTICAL iteration counts (p50 22 max 33) and audit —
+    # 14,399 -> 15,435 solves/s in the A/B, exits all happen at check >= 2
+    # for this family so no exit iterate is produced by the noisy chunk.
     slab_settings = dataclasses.replace(
         settings, adaptive_rho=False, slab_cache=True,
-        chunk_lanes=2, chunk_dot_precision="high") if on_tpu else settings
+        chunk_lanes=2, chunk_dot_precision="high",
+        first_chunk_dot_precision="default") if on_tpu else settings
     slab_hi = dataclasses.replace(
         settings, adaptive_rho=False, slab_cache=True) if on_tpu else settings
     return settings, slab_settings, slab_hi

@@ -91,6 +91,9 @@ def main(argv=None):
                    help="ProxQPSettings.chunk_dot_precision='high' — manual "
                         "3-pass bf16x3 iterate dots (needs --sigma-free; "
                         "pair with --lanes 2)")
+    p.add_argument("--first-default", action="store_true",
+                   help="first_chunk_dot_precision='default' — 1-pass bf16 "
+                        "dots for the first chunk only (precision schedule)")
     args = p.parse_args(argv)
     if args.sigma_free:
         args.refine = 0
@@ -118,7 +121,9 @@ def main(argv=None):
             kkt_refinement_steps=args.refine, check_interval=args.ci,
             sigma_free_rhs=args.sigma_free,
             fused_chunk=on_tpu, chunk_lanes=args.lanes,
-            chunk_dot_precision="high" if args.dot_high else "highest")
+            chunk_dot_precision="high" if args.dot_high else "highest",
+            first_chunk_dot_precision=("default" if args.first_default
+                                       else None))
         sol = proxqp.solve_jit(prob, st)   # compile + warmup
         hard_sync(sol.x)
         dt = None

@@ -138,6 +138,18 @@ class Settings:
     #: lanes=2. Off ("highest") by default: opt in per workload and check
     #: the audit, as the reference's accuracy discipline demands.
     chunk_dot_precision: str = "highest"
+    #: Precision SCHEDULE: run the FIRST chunk's iterate dots at this
+    #: precision (e.g. "default" = one bf16 MXU pass, measured 43.1 vs the
+    #: bf16x3 62.3 ms per 12-iteration chunk) and later chunks at
+    #: chunk_dot_precision. Rationale: early ADMM iterations are far from
+    #: the fixed point, where ~1e-2-relative product noise only perturbs a
+    #: trajectory that is still contracting; the convergence checks always
+    #: evaluate honest full-precision residuals, so a lane can only exit
+    #: when the ACTUAL iterate passes eps. Risk (measure per family): if
+    #: the noisy first chunk delays contraction, lanes spill into an extra
+    #: chunk and the saving inverts. None disables (uniform precision).
+    #: Requires the fused sigma-free chunk.
+    first_chunk_dot_precision: str | None = None
     #: Record per-check residuals/rho into SolveInfo.history (device-side
     #: trace buffers of shape (num_checks, *B)).
     record_history: bool = False
@@ -280,6 +292,18 @@ class Settings:
                 "split_cache requires fused_factor + sigma_free_rhs + "
                 "fused_chunk + chunk_dot_precision='high' with "
                 "adaptive_rho=False, and excludes slab_cache")
+        if self.first_chunk_dot_precision is not None:
+            if self.first_chunk_dot_precision not in ("default", "high",
+                                                      "highest"):
+                raise ValueError("first_chunk_dot_precision must be one of "
+                                 "'default'/'high'/'highest'")
+            if not (self.fused_chunk and self.sigma_free_rhs):
+                raise ValueError("first_chunk_dot_precision needs the fused "
+                                 "sigma-free chunk (fused_chunk + "
+                                 "sigma_free_rhs)")
+            if self.split_cache:
+                raise ValueError("first_chunk_dot_precision excludes "
+                                 "split_cache (its G halves force 'high')")
 
     @property
     def eps_admm(self) -> float:
@@ -355,6 +379,10 @@ class ProxQPSettings:
     #: CPU test family plateaus at res_prim ~3e-4). Check convergence and
     #: the audit on YOUR workload before enabling. Off by default.
     chunk_dot_precision: str = "highest"
+    #: First-chunk precision schedule (see Settings.first_chunk_dot_
+    #: precision — same rationale and risk profile; requires the fused
+    #: sigma-free prox chunk). None disables.
+    first_chunk_dot_precision: str | None = None
     #: Initialize from the equality-KKT solve as the reference does
     #: (ProxQP.jl:80-90). False starts from zeros — faster at loose
     #: tolerances on TPU fleets (the batched LU costs more than the saved
@@ -406,6 +434,15 @@ class ProxQPSettings:
         if self.chunk_lanes < 1:
             raise ValueError("chunk_lanes must be >= 1 (0 would divide by "
                              "zero in the lane fallback; negatives disable it)")
+        if self.first_chunk_dot_precision is not None:
+            if self.first_chunk_dot_precision not in ("default", "high",
+                                                      "highest"):
+                raise ValueError("first_chunk_dot_precision must be one of "
+                                 "'default'/'high'/'highest'")
+            if not (self.fused_chunk and self.sigma_free_rhs):
+                raise ValueError("first_chunk_dot_precision needs the fused "
+                                 "sigma-free prox chunk (fused_chunk + "
+                                 "sigma_free_rhs)")
 
     @property
     def num_checks(self) -> int:

@@ -283,17 +283,33 @@ def _run_chunk(qp: QP, settings: Settings, backend, state: SolverState):
         gvec = state.kkt_cache["g"] if sigma_free else None
         B = state.x.shape[0]
         lanes = settings.chunk_lanes if B % settings.chunk_lanes == 0 else 1
-        x, z, y, xp, zp, Ax, ATy = fused_admm_chunk(
-            Gop,
-            qp.A, qp.P, qp.q, qp.l, qp.u,
-            state.x, state.z, state.y, rho_row, active,
-            K=settings.check_interval, alpha=settings.alpha,
-            sigma=settings.sigma_for(jnp.float32), refine=settings.kkt_refinement_steps,
-            sigma_free=sigma_free, slab=slab, lanes=lanes,
-            dot_precision=(settings.chunk_dot_precision if sigma_free
-                           else "highest"),
-            g=gvec, Glo=Glo,
-            interpret=jax.default_backend() != "tpu")
+
+        def run(prec):
+            return fused_admm_chunk(
+                Gop,
+                qp.A, qp.P, qp.q, qp.l, qp.u,
+                state.x, state.z, state.y, rho_row, active,
+                K=settings.check_interval, alpha=settings.alpha,
+                sigma=settings.sigma_for(jnp.float32),
+                refine=settings.kkt_refinement_steps,
+                sigma_free=sigma_free, slab=slab, lanes=lanes,
+                dot_precision=prec,
+                g=gvec, Glo=Glo,
+                interpret=jax.default_backend() != "tpu")
+
+        prec_main = (settings.chunk_dot_precision if sigma_free
+                     else "highest")
+        if (settings.first_chunk_dot_precision is not None and sigma_free
+                and settings.first_chunk_dot_precision != prec_main):
+            # Precision schedule (Settings.first_chunk_dot_precision): the
+            # far-from-fixed-point first chunk runs cheaper dots; both
+            # kernel variants live in the program, one executes per chunk.
+            x, z, y, xp, zp, Ax, ATy = jax.lax.cond(
+                state.iteration == 0,
+                lambda: run(settings.first_chunk_dot_precision),
+                lambda: run(prec_main))
+        else:
+            x, z, y, xp, zp, Ax, ATy = run(prec_main)
         return x, z, y, xp, zp, state.kkt_cache, (Ax, ATy)
 
     dt = qp.dtype

@@ -446,19 +446,34 @@ def _solve_impl(prob, settings: ProxQPSettings, init,
             B_ = x.shape[0]
             lanes = (settings.chunk_lanes
                      if B_ % settings.chunk_lanes == 0 else 1)
-            x, s, y, z = fused_proxqp_chunk(
-                factor if not sigma_free else factor["Ga"],
-                prob.A, prob.C, prob.P, prob.q, prob.b, prob.d,
-                x, s, y, z, rho, active,
-                K=settings.check_interval, sigma=settings.sigma,
-                refine=settings.kkt_refinement_steps,
-                lanes=lanes,
-                dot_precision=(settings.chunk_dot_precision if sigma_free
-                               else "highest"),
-                sigma_free=sigma_free,
-                Gc=factor["Gc"] if sigma_free else None,
-                g=factor["g"] if sigma_free else None,
-                interpret=jax.default_backend() != "tpu")
+
+            def run_chunk(prec, x=x, s=s, y=y, z=z, factor=factor, rho=rho,
+                          active=active):
+                return fused_proxqp_chunk(
+                    factor if not sigma_free else factor["Ga"],
+                    prob.A, prob.C, prob.P, prob.q, prob.b, prob.d,
+                    x, s, y, z, rho, active,
+                    K=settings.check_interval, sigma=settings.sigma,
+                    refine=settings.kkt_refinement_steps,
+                    lanes=lanes,
+                    dot_precision=prec,
+                    sigma_free=sigma_free,
+                    Gc=factor["Gc"] if sigma_free else None,
+                    g=factor["g"] if sigma_free else None,
+                    interpret=jax.default_backend() != "tpu")
+
+            prec_main = (settings.chunk_dot_precision if sigma_free
+                         else "highest")
+            if (settings.first_chunk_dot_precision is not None and sigma_free
+                    and settings.first_chunk_dot_precision != prec_main):
+                # Precision schedule (first_chunk_dot_precision): cheaper
+                # dots for the far-from-fixed-point first chunk.
+                x, s, y, z = jax.lax.cond(
+                    it == 0,
+                    lambda: run_chunk(settings.first_chunk_dot_precision),
+                    lambda: run_chunk(prec_main))
+            else:
+                x, s, y, z = run_chunk(prec_main)
         else:
             x, s, y, z = jax.lax.fori_loop(
                 0, settings.check_interval, one_iter, (x, s, y, z))

@@ -79,7 +79,11 @@ def _chunk_kernel(rho_all_ref, active_all_ref,      # scalar-prefetch (B,)
         b = [b_ref[i] for i in range(L)]
         d = [d_ref[i] for i in range(L)]
         rho_inv = [1.0 / r for r in rho]
-        hi = jax.lax.Precision.HIGHEST
+        # "default" (one bf16 pass) supports the first-chunk precision
+        # schedule (ProxQPSettings.first_chunk_dot_precision); see
+        # ops/fused_admm.py for the measured pass costs.
+        hi = (jax.lax.Precision.DEFAULT if dot_precision == "default"
+              else jax.lax.Precision.HIGHEST)
 
         def dot(a, bb, dims):
             return jax.lax.dot_general(
