@@ -410,6 +410,38 @@ def test_chunk_dot_precision_high_converges_close():
             dot_precision="high", interpret=True)
 
 
+def test_first_chunk_precision_schedule():
+    """Settings.first_chunk_dot_precision: the scheduled solve must still
+    converge everywhere and land near the uniform-precision solve (the
+    first chunk's noise is corrected by later full-precision chunks; every
+    exit iterate comes from a full-precision chunk on families that need
+    >= 2 chunks). Validators pin the knob to the fused sigma-free path."""
+    import pytest
+
+    fleet = qps.generate_batch(qps.ProblemClass.RANDOM_QP, 4, 128, seed=5,
+                               dtype=np.float32)
+    base = qps.Settings(max_iterations=1000, eps_abs=1e-4, eps_rel=1e-4,
+                        rho=0.4, adaptive_rho=False, sigma_free_rhs=True,
+                        kkt_refinement_steps=0, fused_chunk=True,
+                        fused_factor=True)
+    s0 = qps.solve_jit(fleet, base)
+    s1 = qps.solve_jit(fleet, dataclasses.replace(
+        base, first_chunk_dot_precision="default"))
+    assert (np.asarray(s0.info.status) >= 2).all()
+    assert (np.asarray(s1.info.status) >= 2).all()
+    dev = np.abs(np.asarray(s1.x) - np.asarray(s0.x)).max()
+    scale = np.abs(np.asarray(s0.x)).max()
+    assert dev <= 1e-3 * max(scale, 1.0), (dev, scale)
+
+    with pytest.raises(ValueError, match="first_chunk_dot_precision"):
+        qps.Settings(first_chunk_dot_precision="bogus", fused_chunk=True,
+                     sigma_free_rhs=True, kkt_refinement_steps=0)
+    with pytest.raises(ValueError, match="sigma-free"):
+        qps.Settings(first_chunk_dot_precision="default")
+    with pytest.raises(ValueError, match="sigma-free"):
+        qps.ProxQPSettings(first_chunk_dot_precision="default")
+
+
 def test_split_cache_matches_slab_high():
     """Settings.split_cache: the pre-split bf16 {Ghi, Glo} cache must
     reproduce the slab_cache + chunk_dot_precision="high" solve exactly —
