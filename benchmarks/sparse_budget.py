@@ -232,6 +232,13 @@ def main(argv=None):
     }
     path = os.path.join(os.path.dirname(__file__), "results",
                         "config4_large_sparse.json")
+    # A full re-run must not drop the cadence-probe section (written by
+    # --cadence-probe into the same artifact).
+    if os.path.exists(path):
+        with open(path) as f:
+            old = json.load(f)
+        if "cadence_probe" in old:
+            artifact["cadence_probe"] = old["cadence_probe"]
     with open(path, "w") as f:
         json.dump(artifact, f, indent=1)
     print(json.dumps({k: artifact[k] for k in
