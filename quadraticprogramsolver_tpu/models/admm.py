@@ -637,14 +637,17 @@ def solve(qp: QP, settings: Settings = Settings(), x0=None, z0=None, y0=None,
             and scaling is None and prepared is None
             and len(qp.batch_shape) == 1
             and qp.m > 0 and (qp.n % 128 or qp.m % 128)):
-        n_pad = -(-qp.n // 128) * 128
-        m_pad = -(-qp.m // 128) * 128
-        # Skip when padding would inflate the per-lane work by >4x (e.g.
-        # n=16 -> 128 is 64x the elements): tiny problems are better off
-        # on the XLA chunk than computing mostly-inert padded rows.
-        inflate = (n_pad * m_pad) / (qp.n * qp.m)
-        if inflate <= 4.0 and _fused_chunk_shape_ok(n_pad, m_pad, settings):
+        # The pad decision (128-multiple target, <= 4x work-inflation bound,
+        # padded-shape VMEM gate) lives in models/plan.py — ONE source of
+        # truth shared with solve_jit's eager pre-pad and with the
+        # introspection/strict-mode surface.
+        from .plan import plan as plan_fn
+
+        p = plan_fn(qp, settings)
+        if p.padded is not None:
             from ..core.problem import pad_qp
+
+            n_pad, m_pad = p.padded
 
             def vpad(v, w):
                 if v is None:
