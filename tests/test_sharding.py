@@ -93,6 +93,23 @@ def test_prepared_factor_shards_with_fleet():
                           np.asarray(sol.info.status))
 
 
+def test_prox_prepared_shards_with_fleet():
+    from quadraticprogramsolver_tpu.models import proxqp
+
+    prob = prox_fleet(batch=8, seed0=40)
+    st = qps.ProxQPSettings(max_iterations=2000, eps_abs=1e-9, eps_rel=1e-9)
+    prep_plain = proxqp.prepare_jit(prob, st)
+    ref = qps.solve_proxqp_jit(prob, st, None, None, prep_plain)
+    sp = shard_fleet(prob, make_fleet_mesh())
+    prep = proxqp.prepare_jit(sp, st)
+    assert {s.data.shape for s in prep.cache.addressable_shards} \
+        == {(1, 20, 20)}
+    sol = qps.solve_proxqp_jit(sp, st, None, None, prep)
+    assert np.abs(np.asarray(ref.x) - np.asarray(sol.x)).max() <= 1e-10
+    assert np.array_equal(np.asarray(ref.info.status),
+                          np.asarray(sol.info.status))
+
+
 def test_prox_fleet_matches_single_device():
     """SURVEY §2 parallelism mandate, extended to the SECOND solver family:
     a sharded prox-ALM fleet must match the single-device batched solve."""
