@@ -56,12 +56,21 @@ class CachedQPSolver:
     ``solve(..., prepared=...)`` directly.
     """
 
-    def __init__(self, qp: QP, settings: Settings = Settings(), rho0=None):
+    def __init__(self, qp: QP, settings: Settings = Settings(), rho0=None,
+                 mesh=None):
+        """``mesh``: optionally shard the fleet (and therefore the cached
+        factor and every solve) over a device mesh at setup —
+        :func:`parallel.mesh.shard_fleet` + GSPMD; updates and warm starts
+        keep the sharding."""
         if settings.scaling_iters:
             raise ValueError(
                 "CachedQPSolver does not support scaling_iters (the "
                 "equilibration would be refit per solve, invalidating the "
                 "cached factor); pre-scale the problem once instead")
+        if mesh is not None:
+            from ..parallel.mesh import shard_fleet
+
+            qp = shard_fleet(qp, mesh)
         self._qp = qp
         self._settings = settings
         self._prepared = admm.prepare_jit(qp, settings, rho0)
@@ -89,6 +98,13 @@ class CachedQPSolver:
                     raise ValueError(
                         f"update({name}): shape {new.shape} != {old.shape} "
                         "(structure changes need a new CachedQPSolver)")
+                # Keep the old leaf's placement (mesh-sharded solvers):
+                # otherwise each update arrives default-placed and the jit
+                # re-lays-out its inputs (or recompiles) every tick.
+                if hasattr(old, "sharding"):
+                    import jax
+
+                    new = jax.device_put(new, old.sharding)
                 upd[name] = new
         if upd:
             self._qp = dataclasses.replace(qp, **upd)

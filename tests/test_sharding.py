@@ -93,6 +93,28 @@ def test_prepared_factor_shards_with_fleet():
                           np.asarray(sol.info.status))
 
 
+def test_cached_solver_on_mesh():
+    """CachedQPSolver(mesh=...): the persistent sharded-solver deployment
+    shape — setup shards fleet + factor; update() keeps the sharding."""
+    qp = qps.generate_batch(qps.ProblemClass.RANDOM_QP, batch=16,
+                            num_elements=20, seed=3, dtype=np.float64)
+    st = qps.Settings(max_iterations=2000, eps_abs=1e-8, eps_rel=1e-8,
+                      rho=0.1, adaptive_rho=False)
+    plain = qps.CachedQPSolver(qp, st)
+    ref = plain.solve()
+    solver = qps.CachedQPSolver(qp, st, mesh=make_fleet_mesh())
+    sol = solver.solve()
+    assert np.abs(np.asarray(ref.x) - np.asarray(sol.x)).max() <= 1e-10
+    q2 = np.asarray(qp.q) * 0.5
+    plain.update(q=q2)
+    solver.update(q=q2)
+    # Updated leaf keeps the fleet sharding.
+    assert {s.data.shape for s in solver.qp.q.addressable_shards} == {(2, 20)}
+    r2 = plain.solve(warm_start=True)
+    s2 = solver.solve(warm_start=True)
+    assert np.abs(np.asarray(r2.x) - np.asarray(s2.x)).max() <= 1e-10
+
+
 def test_prox_prepared_shards_with_fleet():
     from quadraticprogramsolver_tpu.models import proxqp
 
