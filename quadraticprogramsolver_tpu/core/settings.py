@@ -148,7 +148,10 @@ class Settings:
     #: when the ACTUAL iterate passes eps. Risk (measure per family): if
     #: the noisy first chunk delays contraction, lanes spill into an extra
     #: chunk and the saving inverts. None disables (uniform precision).
-    #: Requires the fused sigma-free chunk.
+    #: Requires the fused sigma-free chunk. Note solve_segmented restarts
+    #: the chunk counter per segment, so every SEGMENT's first chunk runs
+    #: cheap — near-converged continuation segments would pay extra
+    #: iterations; leave this off for segmented solves.
     first_chunk_dot_precision: str | None = None
     #: Record per-check residuals/rho into SolveInfo.history (device-side
     #: trace buffers of shape (num_checks, *B)).
