@@ -142,8 +142,19 @@ def _densify(x) -> np.ndarray:
     return np.asarray(x)
 
 
-def stack_qps(qps: list[QP]) -> QP:
-    """Stack same-shape QPs into one batched QP (leading axis = fleet)."""
+def stack_qps(qps: list[QP], pad: bool = False) -> QP:
+    """Stack QPs into one batched QP (leading axis = fleet).
+
+    ``pad=True`` admits MIXED problem sizes: every instance is zero-padded
+    (:func:`pad_qp` — inert variables/rows, provably non-binding) to the
+    fleet's max (n, m) so heterogeneous problems share one executable —
+    the SURVEY §7 size-bucketing discipline as an API. Callers slice each
+    lane's solution back with its own n (``sol.x[i, :n_i]``).
+    """
+    if pad:
+        n_max = max(q.n for q in qps)
+        m_max = max(q.m for q in qps)
+        qps = [pad_qp(q, n_max, m_max) for q in qps]
     return jax.tree.map(lambda *xs: jnp.stack(xs, axis=0), *qps)
 
 

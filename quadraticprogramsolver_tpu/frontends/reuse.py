@@ -109,6 +109,35 @@ class CachedQPSolver:
         if upd:
             self._qp = dataclasses.replace(qp, **upd)
 
+    def refactor(self, P=None, A=None, rho0=None) -> None:
+        """Replace P and/or A and re-factor — OSQP's update_P/update_A.
+
+        Unlike :meth:`update` this PAYS the factorization again (the cache
+        is P/A-dependent); the warm-start state from previous solves is
+        kept (the previous solution remains a good start when the matrix
+        perturbation is small — the SQP/trust-region update pattern).
+        Shapes and placement must match the originals.
+        """
+        import jax
+        import jax.numpy as jnp
+
+        qp = self._qp
+        upd = {}
+        for name, new in (("P", P), ("A", A)):
+            if new is not None:
+                new = jnp.asarray(new, qp.dtype)
+                old = getattr(qp, name)
+                if new.shape != old.shape:
+                    raise ValueError(
+                        f"refactor({name}): shape {new.shape} != {old.shape} "
+                        "(structure changes need a new CachedQPSolver)")
+                if hasattr(old, "sharding"):
+                    new = jax.device_put(new, old.sharding)
+                upd[name] = new
+        if upd:
+            self._qp = dataclasses.replace(qp, **upd)
+        self._prepared = admm.prepare_jit(self._qp, self._settings, rho0)
+
     def solve(self, x0=None, z0=None, y0=None,
               warm_start: bool = False) -> Solution:
         """Solve with the cached factor.

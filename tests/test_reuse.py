@@ -221,6 +221,53 @@ class TestCachedQPSolver:
         with pytest.raises(ValueError, match="shape"):
             solver.update(q=np.zeros((4, 13)))
 
+    def test_refactor_updates_matrices(self):
+        # OSQP's update_P/update_A: new matrices re-factor; results match a
+        # freshly-constructed solver on the new problem.
+        qp = fleet(seed=11)
+        solver = qps.CachedQPSolver(qp, SET)
+        solver.solve()
+        P2 = np.asarray(qp.P) + 0.05 * np.eye(qp.n)
+        A2 = np.asarray(qp.A) * 1.1
+        solver.refactor(P=P2, A=A2)
+        got = solver.solve(warm_start=True)
+        fresh = qps.CachedQPSolver(
+            dataclasses.replace(qp, P=qp.P * 0 + P2, A=qp.A * 0 + A2),
+            SET).solve()
+        assert np.array_equal(np.asarray(got.info.status),
+                              np.asarray(fresh.info.status))
+        # Warm-started vs cold trajectories land within solve tolerance
+        # (eps 1e-6 -> ~1e-5 solution agreement), not bitwise.
+        dev = np.abs(np.asarray(got.x) - np.asarray(fresh.x)).max()
+        assert dev < 1e-4, dev
+        with pytest.raises(ValueError, match="shape"):
+            solver.refactor(P=np.eye(3))
+
+
+class TestMixedSizeFleet:
+    def test_stack_qps_pad_solves_each_instance(self):
+        # Heterogeneous sizes share one executable via stack_qps(pad=True);
+        # each lane's sliced solution matches its standalone solve.
+        sizes = [(24, 12), (40, 20), (16, 30)]
+        singles = []
+        for i, (n, m) in enumerate(sizes):
+            singles.append(qps.generate_batch(
+                qps.ProblemClass.RANDOM_QP, batch=1, num_elements=n,
+                num_constraints=m, seed=20 + i, dtype=np.float64))
+        import jax
+
+        solos = [jax.tree.map(lambda x: x[0], s) for s in singles]
+        mixed = qps.stack_qps(solos, pad=True)
+        assert mixed.n == 40 and mixed.m == 30
+        sol = qps.solve_jit(mixed, SET)
+        for i, (n, m) in enumerate(sizes):
+            ref = qps.solve_jit(solos[i], SET)
+            dev = np.abs(np.asarray(sol.x[i, :n]) - np.asarray(ref.x)).max()
+            assert dev < 1e-8, (i, dev)
+            # Padded variables are inert at 0.
+            if n < mixed.n:
+                assert np.abs(np.asarray(sol.x[i, n:])).max() < 1e-10
+
 
 class TestSequenceVectors:
     def test_matches_full_sequence_and_reuse_modes_agree(self):
