@@ -94,7 +94,17 @@ def main(argv=None):
     p.add_argument("--first-default", action="store_true",
                    help="first_chunk_dot_precision='default' — 1-pass bf16 "
                         "dots for the first chunk only (precision schedule)")
+    p.add_argument("--headline", action="store_true",
+                   help="the promoted round-5 headline stack in one flag: "
+                        "B=4096 n=512, sigma-free, lanes=2, bf16x3 dots + "
+                        "first-chunk schedule, static rho=0.0125, ci=25, "
+                        "eps 5e-5 (12,887 solves/s, audit 4.2e-5)")
     args = p.parse_args(argv)
+    if args.headline:
+        args.batch, args.n = 4096, 512
+        args.sigma_free = args.dot_high = args.first_default = True
+        args.no_adapt = True
+        args.lanes, args.rho, args.ci, args.eps = 2, 0.0125, 25, 5e-5
     if args.sigma_free:
         args.refine = 0
 
