@@ -202,7 +202,8 @@ def headline_settings(on_tpu: bool):
         chunk_lanes=2, chunk_dot_precision="high",
         first_chunk_dot_precision="default") if on_tpu else settings
     slab_hi = dataclasses.replace(
-        settings, adaptive_rho=False, slab_cache=True) if on_tpu else settings
+        settings, adaptive_rho=False, slab_cache=True,
+        first_chunk_dot_precision="default") if on_tpu else settings
     return settings, slab_settings, slab_hi
 
 

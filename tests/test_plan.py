@@ -96,6 +96,37 @@ class TestPlanAdmm:
         assert p.backend == "cg" and p.factor == "jacobi_diag"
 
 
+class TestPlanProx:
+    FUSED_P = qps.ProxQPSettings(fused_chunk=True, sigma_free_rhs=True,
+                                 kkt_refinement_steps=0)
+
+    def test_fully_fused(self):
+        p = plan_mod.plan_proxqp(shape_prox(8, 128, 128, 128), self.FUSED_P)
+        assert p.chunk == "fused_pallas" and p.factor == "fused_slab"
+        assert p.cache == "Ga_Gc_g" and p.fallback_reasons == ()
+
+    def test_pad_plan_and_dims(self):
+        p = plan_mod.plan_proxqp(shape_prox(8, 100, 4, 8), self.FUSED_P)
+        assert p.padded == (128, 128, 128)
+        assert p.chunk == "fused_pallas"
+
+    def test_f64_and_lane_fallbacks(self):
+        p = plan_mod.plan_proxqp(shape_prox(8, 128, 128, 128, jnp.float64),
+                                 self.FUSED_P)
+        assert p.chunk == "xla"
+        assert any("float32" in r for r in p.fallback_reasons)
+        st = dataclasses.replace(self.FUSED_P, chunk_lanes=4)
+        p = plan_mod.plan_proxqp(shape_prox(6, 128, 128, 128), st)
+        assert p.lanes == 1
+        assert any("does not divide" in r for r in p.fallback_reasons)
+
+    def test_dense_m_inv_plan(self):
+        p = plan_mod.plan_proxqp(shape_prox(4, 30, 4, 8),
+                                 qps.ProxQPSettings())
+        assert p.chunk == "xla" and p.factor == "xla_inverse"
+        assert p.cache == "M_inv" and p.fallback_reasons == ()
+
+
 class TestRequireFused:
     def test_raises_on_silent_fallback(self):
         st = dataclasses.replace(FUSED, require_fused=True)
