@@ -117,7 +117,9 @@ def main():
     # Timing discipline: through the remote-TPU relay block_until_ready can
     # return before execution finishes — pull one scalar to host instead.
     def hard_sync(x):
-        return float(np.asarray(x).ravel()[0])
+        # Slice ON DEVICE before the host transfer: np.asarray(x) first
+        # would pull the whole array through the ~8 MB/s relay.
+        return float(np.asarray(x.ravel()[0]))
 
     sols = solve_sequence_jit(qp_seq, st, carry_rho=False)
     hard_sync(sols.x)
